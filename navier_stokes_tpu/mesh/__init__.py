@@ -1,0 +1,6 @@
+from .mesh import Mesh
+from .generators import (
+    unit_square_mesh,
+    cavity_mesh,
+    channel_with_cylinder_mesh,
+)

@@ -1,0 +1,166 @@
+"""Built-in mesh generators for the reference benchmark geometries.
+
+Replaces the Netgen geometry kernel for the three geometries the reference
+uses (SURVEY.md section 2b row 1):
+
+* unit square (heat equation, /root/reference/heat.py:31)
+* 2D channel-with-cylinder, Schaefer-Turek style (/root/reference/run.py:22-29)
+* 3D channel-with-cylinder (/root/reference/templates/NavierStokesSIMPLE_test_3D.py:8-16)
+* lid-driven cavity (BASELINE.json config; unit square with named lid)
+
+Curved elements: the reference curves the cylinder boundary to order 3
+(run.py:28).  Here boundary nodes are snapped exactly onto the circle and the
+geometry is otherwise straight-element (documented deviation, SURVEY.md
+section 7 hard-part 6); curved-geometry quadrature is a planned extension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mesh import Mesh
+
+_TOL = 1e-9
+
+
+def unit_square_mesh(maxh: float = 0.1) -> Mesh:
+    """Structured triangulation of (0,1)^2 with NGSolve boundary names.
+
+    Boundary names match netgen's unit_square: bottom, right, top, left.
+    """
+    n = max(1, round(1.0 / maxh))
+    xs = np.linspace(0.0, 1.0, n + 1)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * (n + 1) + j
+
+    tris = []
+    for i in range(n):
+        for j in range(n):
+            v00, v10 = vid(i, j), vid(i + 1, j)
+            v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
+            # alternate the diagonal for isotropy
+            if (i + j) % 2 == 0:
+                tris += [[v00, v10, v11], [v00, v11, v01]]
+            else:
+                tris += [[v00, v10, v01], [v10, v11, v01]]
+    mesh = Mesh(pts, np.array(tris, dtype=np.int32))
+    mesh.ensure_positive_orientation()
+    mesh.tag_boundary_by_predicate("bottom", lambda p: np.abs(p[:, :, 1]) < _TOL)
+    mesh.tag_boundary_by_predicate("right", lambda p: np.abs(p[:, :, 0] - 1) < _TOL)
+    mesh.tag_boundary_by_predicate("top", lambda p: np.abs(p[:, :, 1] - 1) < _TOL)
+    mesh.tag_boundary_by_predicate("left", lambda p: np.abs(p[:, :, 0]) < _TOL)
+    return mesh
+
+
+def cavity_mesh(maxh: float = 0.05) -> Mesh:
+    """Unit-square lid-driven cavity: lid (top) + wall (other three sides)."""
+    mesh = unit_square_mesh(maxh)
+    mesh.tag_boundary_by_predicate("lid", lambda p: np.abs(p[:, :, 1] - 1) < _TOL)
+    wall = np.concatenate(
+        [mesh.boundary_tags[k] for k in ("bottom", "left", "right")]
+    )
+    mesh.boundary_tags["wall"] = np.unique(wall).astype(np.int32)
+    return mesh
+
+
+def channel_with_cylinder_mesh(
+    maxh: float = 0.1,
+    length: float = 2.0,
+    height: float = 0.41,
+    cyl_center: tuple[float, float] = (0.2, 0.2),
+    cyl_radius: float = 0.05,
+    refine_cylinder: float = 0.35,
+) -> Mesh:
+    """Schaefer-Turek channel: rectangle with a circular hole.
+
+    Boundary names follow /root/reference/run.py:24-26: "inlet" (x=0),
+    "outlet" (x=length), "wall" (y=0 and y=height), "cyl" (circle).
+
+    Construction: graded background grid + concentric point rings around the
+    cylinder, Delaunay triangulation, removal of hole triangles, and exact
+    snapping of the innermost ring onto the circle.
+    """
+    from scipy.spatial import Delaunay
+
+    cx, cy = cyl_center
+    r = cyl_radius
+
+    nx = max(2, round(length / maxh))
+    ny = max(2, round(height / maxh))
+    xs = np.linspace(0.0, length, nx + 1)
+    ys = np.linspace(0.0, height, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    grid = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    # concentric rings around the cylinder (innermost exactly on the circle)
+    h_cyl = min(maxh * refine_cylinder, 2 * np.pi * r / 16)
+    n_ring = max(16, int(np.ceil(2 * np.pi * r / h_cyl)))
+    rings = []
+    ring_radii = [r]
+    rr = r
+    while rr < r + 1.2 * maxh:
+        rr = rr + h_cyl * (rr / r) ** 0.5
+        ring_radii.append(rr)
+    for i, rr in enumerate(ring_radii):
+        m = max(12, int(np.ceil(2 * np.pi * rr / (h_cyl * (rr / r) ** 0.5))))
+        th = np.linspace(0, 2 * np.pi, m, endpoint=False) + (i % 2) * np.pi / m
+        ring = np.stack([cx + rr * np.cos(th), cy + rr * np.sin(th)], axis=1)
+        rings.append(ring)
+    ring_pts = np.concatenate(rings, axis=0)
+    # keep ring points inside the rectangle
+    ring_pts = ring_pts[
+        (ring_pts[:, 0] > _TOL)
+        & (ring_pts[:, 0] < length - _TOL)
+        & (ring_pts[:, 1] > _TOL)
+        & (ring_pts[:, 1] < height - _TOL)
+    ]
+
+    # drop grid points that are inside the outermost ring region
+    d_grid = np.hypot(grid[:, 0] - cx, grid[:, 1] - cy)
+    on_boundary = (
+        (np.abs(grid[:, 0]) < _TOL)
+        | (np.abs(grid[:, 0] - length) < _TOL)
+        | (np.abs(grid[:, 1]) < _TOL)
+        | (np.abs(grid[:, 1] - height) < _TOL)
+    )
+    keep = (d_grid > ring_radii[-1] + 0.55 * h_cyl) | (
+        on_boundary & (d_grid > r + 0.5 * h_cyl)
+    )
+    pts = np.concatenate([grid[keep], ring_pts], axis=0)
+
+    tri = Delaunay(pts)
+    els = tri.simplices
+    cent = pts[els].mean(axis=1)
+    d_cent = np.hypot(cent[:, 0] - cx, cent[:, 1] - cy)
+    els = els[d_cent > r * (1.0 - 1e-12)]
+    # drop degenerate slivers
+    v = pts[els]
+    area2 = np.abs(
+        (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+        - (v[:, 2, 0] - v[:, 0, 0]) * (v[:, 1, 1] - v[:, 0, 1])
+    )
+    els = els[area2 > 1e-10 * maxh * maxh]
+
+    # drop unused points and remap
+    used = np.unique(els)
+    remap = -np.ones(len(pts), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    mesh = Mesh(pts[used], remap[els].astype(np.int32))
+    mesh.ensure_positive_orientation()
+
+    mesh.tag_boundary_by_predicate("inlet", lambda p: np.abs(p[:, :, 0]) < _TOL)
+    mesh.tag_boundary_by_predicate(
+        "outlet", lambda p: np.abs(p[:, :, 0] - length) < _TOL
+    )
+    mesh.tag_boundary_by_predicate(
+        "wall",
+        lambda p: (np.abs(p[:, :, 1]) < _TOL) | (np.abs(p[:, :, 1] - height) < _TOL),
+    )
+    mesh.tag_boundary_by_predicate(
+        "cyl",
+        lambda p: np.abs(np.hypot(p[:, :, 0] - cx, p[:, :, 1] - cy) - r) < 1e-6 * (1 + r),
+    )
+    return mesh

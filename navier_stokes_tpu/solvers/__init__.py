@@ -1,0 +1,3 @@
+from .cg import cg, cg_solve, SolverResult
+from .minres import minres
+from .bpcg import bramble_pasciak_cg, bramble_pasciak_cg_opt, bp_scale_factor

@@ -1,0 +1,99 @@
+"""Preconditioned MINRES as one fused lax.while_loop.
+
+Same mathematical algorithm as the reference's hand-written MINRES
+(/root/reference/minres.py:12-149, itself after M. Kolmbauer's thesis):
+preconditioned Lanczos three-term recurrence + Givens rotations + residual
+norm recurrence ``ResNorm = |s_new| * ResNorm_old``, with the same dual
+stopping tests and the same per-iteration relative-error history — but
+executed entirely on device instead of ~6 Python->C++ crossings per step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..linalg.pytree import taxpy, tdot, tscale, tsub, tzeros_like
+from .cg import SolverResult
+
+
+def minres(mat, rhs, pre=None, sol=None, maxsteps: int = 100,
+           initialize: bool = True, tol: float = 1e-7) -> SolverResult:
+    """Solve mat x = rhs (symmetric, possibly indefinite) with PMINRES.
+
+    ``mat``/``pre`` are callables on pytree vectors; ``pre`` must be SPD.
+    Mirrors the argument semantics of /root/reference/minres.py:12
+    (initialize=False keeps ``sol`` as the initial guess).
+    """
+    if pre is None:
+        pre = lambda v: v
+    if sol is None or initialize:
+        u = tzeros_like(rhs) if sol is None else tzeros_like(sol)
+        v = rhs
+    else:
+        u = sol
+        v = tsub(rhs, mat(u))
+
+    z = pre(v)
+    gamma = jnp.sqrt(tdot(z, v))
+    dtype = gamma.dtype
+    z = tscale(1.0 / gamma, z)
+    v = tscale(1.0 / gamma, v)
+
+    err0 = gamma
+    errors = jnp.full(maxsteps + 1, jnp.nan, dtype)
+    errors = errors.at[0].set(1.0)
+
+    state = dict(
+        u=u, v=v, v_old=tzeros_like(v), w=tzeros_like(v), w_old=tzeros_like(v),
+        z=z, eta_old=gamma, c_old=jnp.ones((), dtype), c=jnp.ones((), dtype),
+        s_old=jnp.zeros((), dtype), s=jnp.zeros((), dtype), gamma=gamma,
+        res_norm=gamma, k=jnp.ones((), jnp.int32), errors=errors,
+        done=jnp.zeros((), bool),
+    )
+
+    def cond(st):
+        return (st["k"] < maxsteps + 1) & jnp.logical_not(st["done"])
+
+    def body(st):
+        mz = mat(st["z"])
+        delta = tdot(mz, st["z"])
+        v_new = taxpy(-delta, st["v"], mz)
+        v_new = taxpy(-st["gamma"], st["v_old"], v_new)
+        z_new = pre(v_new)
+        gamma_new = jnp.sqrt(tdot(z_new, v_new))
+        z_new = tscale(1.0 / gamma_new, z_new)
+        v_new = tscale(1.0 / gamma_new, v_new)
+
+        alpha0 = st["c"] * delta - st["c_old"] * st["s"] * st["gamma"]
+        alpha1 = jnp.sqrt(alpha0 * alpha0 + gamma_new * gamma_new)
+        alpha2 = st["s"] * delta + st["c_old"] * st["c"] * st["gamma"]
+        alpha3 = st["s_old"] * st["gamma"]
+
+        c_new = alpha0 / alpha1
+        s_new = gamma_new / alpha1
+
+        w_new = taxpy(-alpha3, st["w_old"], st["z"])
+        w_new = taxpy(-alpha2, st["w"], w_new)
+        w_new = tscale(1.0 / alpha1, w_new)
+
+        u = taxpy(c_new * st["eta_old"], w_new, st["u"])
+        eta = -s_new * st["eta_old"]
+
+        res_norm = jnp.abs(s_new) * st["res_norm"]
+        errors = st["errors"].at[st["k"]].set(res_norm / err0)
+        # same dual stopping tests as the reference (minres.py:96,126)
+        done = (res_norm < tol * err0) | (res_norm <= tol)
+
+        return dict(
+            u=u, v=v_new, v_old=st["v"], w=w_new, w_old=st["w"], z=z_new,
+            eta_old=eta, c_old=st["c"], c=c_new, s_old=st["s"], s=s_new,
+            gamma=gamma_new, res_norm=res_norm, k=st["k"] + 1, errors=errors,
+            done=done,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    return SolverResult(
+        x=st["u"], iterations=st["k"] - 1, errors=st["errors"], err0=err0,
+        converged=st["done"],
+    )

@@ -1,0 +1,146 @@
+"""Krylov solvers validated against dense numpy solves (SURVEY.md section 4:
+'each Krylov solver on small SPD/saddle dense systems vs numpy.linalg')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_tpu.linalg import lanczos_eigenvalues
+from navier_stokes_tpu.solvers import (
+    bramble_pasciak_cg,
+    bramble_pasciak_cg_opt,
+    cg,
+    minres,
+)
+
+
+@pytest.fixture(scope="module")
+def spd_system():
+    rng = np.random.default_rng(1)
+    n = 60
+    Q = rng.standard_normal((n, n))
+    A = Q @ Q.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    return A, b, np.linalg.solve(A, b)
+
+
+@pytest.fixture(scope="module")
+def saddle_system():
+    rng = np.random.default_rng(2)
+    nu, m = 50, 20
+    Q = rng.standard_normal((nu, nu))
+    A = Q @ Q.T + nu * np.eye(nu)
+    B = rng.standard_normal((m, nu))
+    K = np.block([[A, B.T], [B, np.zeros((m, m))]])
+    f, g = rng.standard_normal(nu), rng.standard_normal(m)
+    sol = np.linalg.solve(K, np.concatenate([f, g]))
+    return A, B, f, g, sol
+
+
+def test_cg(spd_system):
+    A, b, xref = spd_system
+    r = cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(b), tol=1e-12, maxsteps=500)
+    assert bool(r.converged)
+    assert np.abs(np.asarray(r.x) - xref).max() < 1e-8
+    errs = np.asarray(r.errors)
+    assert errs[0] == 1.0
+    assert np.isnan(errs[int(r.iterations) + 1])  # history masked past convergence
+
+
+def test_pcg_jacobi(spd_system):
+    A, b, xref = spd_system
+    pre = lambda x: x / jnp.asarray(np.diag(A))
+    r = cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(b), pre=pre, tol=1e-12,
+           maxsteps=500)
+    assert np.abs(np.asarray(r.x) - xref).max() < 1e-8
+
+
+def test_lanczos_extreme_eigenvalues(spd_system):
+    A, b, _ = spd_system
+    d = np.diag(A)
+    pre = lambda x: x / jnp.asarray(d)
+    lams = np.asarray(
+        lanczos_eigenvalues(lambda x: jnp.asarray(A) @ x, pre, jnp.asarray(b), 50)
+    )
+    s = 1 / np.sqrt(d)
+    exact = np.linalg.eigvalsh(s[:, None] * A * s[None, :])
+    assert abs(lams.max() - exact.max()) / exact.max() < 1e-6
+    assert abs(lams.min() - exact.min()) / exact.min() < 0.05
+
+
+def test_minres_indefinite():
+    rng = np.random.default_rng(3)
+    n = 60
+    D = np.diag(np.concatenate([np.linspace(1, 10, 40), -np.linspace(1, 5, 20)]))
+    U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    S = U @ D @ U.T
+    b = rng.standard_normal(n)
+    xs = np.linalg.solve(S, b)
+    r = minres(lambda x: jnp.asarray(S) @ x, jnp.asarray(b), tol=1e-12, maxsteps=500)
+    assert np.abs(np.asarray(r.x) - xs).max() < 1e-7
+
+
+def _saddle_ops(A, B):
+    Afn = lambda x: jnp.asarray(A) @ x
+    Bfn = lambda x: jnp.asarray(B) @ x
+    BTfn = lambda x: jnp.asarray(B.T) @ x
+    preA = lambda x: x / jnp.asarray(np.diag(A))
+    Md = B @ np.linalg.inv(A) @ B.T
+    preM = lambda x: x / jnp.asarray(np.diag(Md))
+    return Afn, Bfn, BTfn, preA, preM
+
+
+def test_bpcg_v1(saddle_system):
+    A, B, f, g, sol = saddle_system
+    nu = len(f)
+    Afn, Bfn, BTfn, preA, preM = _saddle_ops(A, B)
+    r = bramble_pasciak_cg(Afn, Bfn, BTfn, preA, preM, jnp.asarray(f),
+                           jnp.asarray(g), tol=1e-12, max_steps=2000)
+    assert bool(r.converged)
+    err = max(
+        np.abs(np.asarray(r.x[0]) - sol[:nu]).max(),
+        np.abs(np.asarray(r.x[1]) - sol[nu:]).max(),
+    )
+    assert err < 1e-7
+
+
+def test_bpcg_v2_matches_v1(saddle_system):
+    A, B, f, g, sol = saddle_system
+    nu = len(f)
+    Afn, Bfn, BTfn, preA, preM = _saddle_ops(A, B)
+    r1 = bramble_pasciak_cg(Afn, Bfn, BTfn, preA, preM, jnp.asarray(f),
+                            jnp.asarray(g), tol=1e-12, max_steps=2000)
+    r2 = bramble_pasciak_cg_opt(Afn, Bfn, BTfn, preA, preM, jnp.asarray(f),
+                                jnp.asarray(g), tol=1e-12, maxsteps=2000)
+    err = max(
+        np.abs(np.asarray(r2.x[0]) - sol[:nu]).max(),
+        np.abs(np.asarray(r2.x[1]) - sol[nu:]).max(),
+    )
+    assert err < 1e-7
+    # the optimized recurrence is the same Krylov process
+    assert abs(int(r1.iterations) - int(r2.iterations)) <= 2
+
+
+def test_block_minres_saddle(saddle_system):
+    A, B, f, g, sol = saddle_system
+    nu = len(f)
+    Afn, Bfn, BTfn, preA, preM = _saddle_ops(A, B)
+    mat = lambda x: (Afn(x[0]) + BTfn(x[1]), Bfn(x[0]))
+    pre = lambda x: (preA(x[0]), preM(x[1]))
+    r = minres(mat, (jnp.asarray(f), jnp.asarray(g)), pre=pre, tol=1e-12,
+               maxsteps=2000)
+    err = max(
+        np.abs(np.asarray(r.x[0]) - sol[:nu]).max(),
+        np.abs(np.asarray(r.x[1]) - sol[nu:]).max(),
+    )
+    assert err < 1e-6
+
+
+def test_deterministic_histories(spd_system):
+    """Pure-JAX determinism: same input -> bitwise-equal error histories."""
+    A, b, _ = spd_system
+    r1 = cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(b), tol=1e-10, maxsteps=200)
+    r2 = cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(b), tol=1e-10, maxsteps=200)
+    e1, e2 = np.asarray(r1.errors), np.asarray(r2.errors)
+    assert np.array_equal(e1[~np.isnan(e1)], e2[~np.isnan(e2)])
