@@ -1,0 +1,6 @@
+from .heat import (
+    HeatEquation,
+    heat_convergence_study,
+    sum_of_unit_square_laplace_eigenfunctions,
+    exact_solution,
+)
