@@ -337,8 +337,9 @@ class ElementBasis:
     n_face: int
     n_cell: int
     _tabulate: Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]]
-    nodes: np.ndarray | None = None  # nodal points (nb, dim) if interpolatory
+    nodes: np.ndarray | None = None  # interpolation points (nb, dim)
     name: str = ""
+    nodal: bool = True  # True: basis has the delta property at ``nodes``
 
     def tabulate(self, points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Return (vals (npts, nb), grads (npts, nb, dim)) at ``points``."""
@@ -453,9 +454,10 @@ def bubble_enriched_triangle(order: int) -> ElementBasis:
         grads = np.concatenate([g, dbub[:, None, :]], axis=1)
         return vals, grads
 
+    nodes = np.concatenate([base.nodes, np.array([[1 / 3, 1 / 3]])])
     return ElementBasis(
         dim=2, order=max(order, 3), n_basis=base.n_basis + 1,
         n_vertex=base.n_vertex, n_edge=base.n_edge, n_face=0,
-        n_cell=base.n_cell + 1, _tabulate=tab, nodes=None,
-        name=f"P{order}+bubble-tri",
+        n_cell=base.n_cell + 1, _tabulate=tab, nodes=nodes,
+        name=f"P{order}+bubble-tri", nodal=False,
     )

@@ -92,9 +92,15 @@ class FunctionSpace:
         return v0[:, None, :] + np.einsum("eab,nb->ena", J, self.basis.nodes)
 
     def interpolate(self, f: Callable[[np.ndarray], np.ndarray]) -> np.ndarray:
-        """Nodal interpolation of f(points (n,dim)) -> (n,) onto dof vector."""
+        """Interpolation of f(points (n,dim)) -> (n,) onto the dof vector.
+
+        Nodal bases use point values directly; non-nodal (e.g. bubble-
+        enriched) bases solve the local interpolation Vandermonde."""
         coords = self.element_node_coords()
         vals = f(coords.reshape(-1, self.mesh.dim)).reshape(coords.shape[:2])
+        if not self.basis.nodal:
+            vn, _ = self.basis.tabulate(self.basis.nodes)  # (np, nb)
+            vals = vals @ np.linalg.inv(vn).T
         u = np.zeros(self.ndof)
         u[self.element_dofs.ravel()] = vals.ravel()
         return u

@@ -1,0 +1,112 @@
+"""Stokes discretization catalog.
+
+Mirrors /root/reference/discretizations.py:6-88: each factory returns
+``(discretization, order)`` where ``discretization(mesh, velocity_dirichlet)``
+builds the (velocity, pressure) space pair.  Velocity spaces are vector-valued
+(dim components of one scalar space, component-major layout).
+
+Implemented inf-sup-stable pairs (the H1/L2 families of the catalog):
+  taylor_hood(k)                        H1_k^dim x H1_{k-1}
+  P1_nonconforming_velocity_constant_pressure   CR^dim x L2_0
+  P2_velocity_constant_pressure         H1_2^dim x L2_0
+  P2_velocity_linear_pressure           H1_2^dim x L2_1 (not inf-sup stable;
+                                        kept for parity with the catalog)
+  P2_velocity_with_cubic_bubbles_linear_pressure  (H1_2+bubble)^dim x L2_1
+  mini                                  (H1_1+bubble)^dim x H1_1
+
+The H(div)/HDG families (bdm_hybrid, rt_hybrid, hcurldiv) are the planned
+next discretization wave; their factories raise with a clear message until
+the H(div) element machinery lands.
+"""
+
+from __future__ import annotations
+
+from ..fem.spaces import H1, H1_with_bubble, L2, Nonconforming, VectorSpace
+
+
+def taylor_hood(order: int):
+    def discretization(mesh, velocity_dirichlet):
+        V = VectorSpace(H1(mesh, order, dirichlet=velocity_dirichlet), mesh.dim)
+        Q = H1(mesh, order - 1)
+        return V, Q
+
+    return (discretization, order)
+
+
+def P1_nonconforming_velocity_constant_pressure():
+    def discretization(mesh, velocity_dirichlet):
+        V = VectorSpace(Nonconforming(mesh, dirichlet=velocity_dirichlet), mesh.dim)
+        Q = L2(mesh, 0)
+        return V, Q
+
+    return (discretization, 1)
+
+
+def P2_velocity_constant_pressure():
+    def discretization(mesh, velocity_dirichlet):
+        V = VectorSpace(H1(mesh, 2, dirichlet=velocity_dirichlet), mesh.dim)
+        Q = L2(mesh, 0)
+        return V, Q
+
+    return (discretization, 2)
+
+
+def P2_velocity_linear_pressure():
+    def discretization(mesh, velocity_dirichlet):
+        V = VectorSpace(H1(mesh, 2, dirichlet=velocity_dirichlet), mesh.dim)
+        Q = L2(mesh, 1)
+        return V, Q
+
+    return (discretization, 2)
+
+
+def P2_velocity_with_cubic_bubbles_linear_pressure():
+    def discretization(mesh, velocity_dirichlet):
+        V = VectorSpace(
+            H1_with_bubble(mesh, 2, dirichlet=velocity_dirichlet), mesh.dim
+        )
+        Q = L2(mesh, 1)
+        return V, Q
+
+    return (discretization, 2)
+
+
+def mini():
+    def discretization(mesh, velocity_dirichlet):
+        V = VectorSpace(
+            H1_with_bubble(mesh, 1, dirichlet=velocity_dirichlet), mesh.dim
+        )
+        Q = H1(mesh, 1)
+        return V, Q
+
+    return (discretization, 1)
+
+
+def bdm_hybrid(order: int, penalty: float, hodivfree: bool = False):
+    def discretization(mesh, velocity_dirichlet):
+        raise NotImplementedError(
+            "H(div)-BDM hybrid spaces are the next discretization wave "
+            "(reference: discretizations.py:59-67)"
+        )
+
+    return (discretization, order)
+
+
+def rt_hybrid(order: int, penalty: float, hodivfree: bool = False):
+    def discretization(mesh, velocity_dirichlet):
+        raise NotImplementedError(
+            "H(div)-RT hybrid spaces are the next discretization wave "
+            "(reference: discretizations.py:70-78)"
+        )
+
+    return (discretization, order)
+
+
+def hcurldiv(order: int, raviart_thomas: bool = True):
+    def discretization(mesh, velocity_dirichlet, velocity_neumann):
+        raise NotImplementedError(
+            "H(curl,div) MCS spaces are the next discretization wave "
+            "(reference: discretizations.py:81-88)"
+        )
+
+    return (discretization, order)
