@@ -66,6 +66,100 @@ def cavity_mesh(maxh: float = 0.05) -> Mesh:
     return mesh
 
 
+def extrude_to_tets(mesh2d: Mesh, z_levels: np.ndarray) -> Mesh:
+    """Extrude a triangle mesh along z and split each prism into 3 tets.
+
+    Prism splitting uses the vertex-index rule (Dompierre et al.): the
+    diagonal of every quad face is chosen by global vertex ids, so adjacent
+    prisms tessellate their shared faces compatibly.
+    """
+    nv2, nl = mesh2d.nv, len(z_levels)
+    pts = np.concatenate(
+        [
+            np.concatenate(
+                [mesh2d.points, np.full((nv2, 1), z)], axis=1
+            )
+            for z in z_levels
+        ]
+    )
+    tets = []
+    for layer in range(nl - 1):
+        lo, hi = layer * nv2, (layer + 1) * nv2
+        for tri in mesh2d.elements:
+            a, b, c = (int(t) for t in tri)
+            # rotate so the smallest bottom id comes first
+            v = [a, b, c]
+            r = int(np.argmin(v))
+            v0, v1, v2 = v[r], v[(r + 1) % 3], v[(r + 2) % 3]
+            b0, b1, b2 = lo + v0, lo + v1, lo + v2
+            t0, t1, t2 = hi + v0, hi + v1, hi + v2
+            if min(v1, v2 + nv2) < min(v2, v1 + nv2):
+                tets += [[b0, b1, b2, t2], [b0, b1, t2, t1], [b0, t1, t2, t0]]
+            else:
+                tets += [[b0, b1, b2, t1], [b0, t1, b2, t2], [b0, t1, t2, t0]]
+    mesh = Mesh(pts, np.array(tets, dtype=np.int32))
+    mesh.ensure_positive_orientation()
+    return mesh
+
+
+def unit_cube_mesh(maxh: float = 0.25) -> Mesh:
+    """Structured tet mesh of (0,1)^3 with netgen unit_cube boundary names:
+    left (x=0), right (x=1), front (y=0), back (y=1), bottom (z=0), top (z=1)."""
+    sq = unit_square_mesh(maxh)
+    n = max(1, round(1.0 / maxh))
+    mesh = extrude_to_tets(sq, np.linspace(0.0, 1.0, n + 1))
+    for name, axis, val in [
+        ("left", 0, 0.0), ("right", 0, 1.0), ("front", 1, 0.0),
+        ("back", 1, 1.0), ("bottom", 2, 0.0), ("top", 2, 1.0),
+    ]:
+        mesh.tag_boundary_by_predicate(
+            name, lambda p, a=axis, v=val: np.abs(p[:, :, a] - v) < _TOL
+        )
+    return mesh
+
+
+def channel_with_cylinder_mesh_3d(
+    maxh: float = 0.1,
+    length: float = 2.5,
+    height: float = 0.41,
+    cyl_center: tuple[float, float] = (0.5, 0.2),
+    cyl_radius: float = 0.05,
+) -> Mesh:
+    """3D Schaefer-Turek channel: brick (0,0,0)-(length,H,H) minus a
+    z-axis-parallel cylinder at (0.5, 0.2), the geometry of
+    /root/reference/templates/NavierStokesSIMPLE_test_3D.py:8-14 (the brick
+    x-range is clipped by the inlet/outlet planes to [0, 2.5] there).
+
+    Boundary names: inlet (x=0), outlet (x=length), wall (brick faces),
+    cyl (cylinder surface)."""
+    base = channel_with_cylinder_mesh(
+        maxh, length=length, height=height,
+        cyl_center=cyl_center, cyl_radius=cyl_radius,
+    )
+    nz = max(2, round(height / maxh))
+    mesh = extrude_to_tets(base, np.linspace(0.0, height, nz + 1))
+    cx, cy = cyl_center
+    mesh.tag_boundary_by_predicate(
+        "inlet", lambda p: np.abs(p[:, :, 0]) < _TOL
+    )
+    mesh.tag_boundary_by_predicate(
+        "outlet", lambda p: np.abs(p[:, :, 0] - length) < _TOL
+    )
+    mesh.tag_boundary_by_predicate(
+        "cyl",
+        lambda p: np.abs(
+            np.hypot(p[:, :, 0] - cx, p[:, :, 1] - cy) - cyl_radius
+        ) < 1e-6 * (1 + cyl_radius),
+    )
+    # walls: everything else on the boundary
+    tagged = np.concatenate(
+        [mesh.boundary_tags[k] for k in ("inlet", "outlet", "cyl")]
+    )
+    wall = np.setdiff1d(mesh.boundary_facets, tagged)
+    mesh.boundary_tags["wall"] = wall.astype(np.int32)
+    return mesh
+
+
 def channel_with_cylinder_mesh(
     maxh: float = 0.1,
     length: float = 2.0,
