@@ -42,28 +42,41 @@ def lanczos_eigenvalues(A, pre, example_vec, iterations: int = 40, key=None):
     diag = jnp.zeros(m, beta0.dtype)
     offd = jnp.zeros(m, beta0.dtype)
 
-    def body(j, carry):
-        v, z, z_old, beta_prev, diag, offd = carry
+    # statically unrolled with FULL reorthogonalization (m is small): plain
+    # Lanczos loses orthogonality once Ritz values converge and can report
+    # spurious (even negative) lambda_min — fatal for the Bramble-Pasciak
+    # scaling k = 1/lambda_min.
+    vs, zs = [v], [z]
+    beta_prev = jnp.zeros((), beta0.dtype)
+    z_old = tzeros_like(z)
+    for j in range(m):
         w = A(v)
         alpha = tdot(v, w)
         w = taxpy(-alpha, z, w)
         w = taxpy(-beta_prev, z_old, w)
+        # reorthogonalize the dual residual against all stored primal vectors
+        for vi, zi in zip(vs, zs):
+            w = taxpy(-tdot(w, vi), zi, w)
         v_new = pre(w)
         beta = jnp.sqrt(jnp.abs(tdot(w, v_new)))
+        # breakdown guard: Krylov space exhausted -> freeze (duplicate Ritz
+        # values are harmless for the min/max estimates)
+        eps = jnp.asarray(1e-10, beta0.dtype) * (jnp.abs(alpha) + beta0)
+        broke = beta < eps
         diag = diag.at[j].set(alpha)
-        offd = offd.at[j].set(beta)
-        safe = jnp.maximum(beta, jnp.finfo(beta.dtype).tiny)
-        return (
-            tscale(1.0 / safe, v_new),
-            tscale(1.0 / safe, w),
-            z,
-            beta,
-            diag,
-            offd,
+        offd = offd.at[j].set(jnp.where(broke, 0.0, beta))
+        safe = jnp.where(broke, 1.0, beta)
+        z_old = z
+        v = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(broke, old, new / safe), v_new, v
         )
-
-    init = (v, z, tzeros_like(z), jnp.zeros((), beta0.dtype), diag, offd)
-    _, _, _, _, diag, offd = jax.lax.fori_loop(0, m, body, init)
+        z = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(broke, old, new / safe), w, z
+        )
+        beta_prev = jnp.where(broke, 0.0, beta)
+        if j < m - 1:
+            vs.append(v)
+            zs.append(z)
 
     T = (
         jnp.diag(diag)

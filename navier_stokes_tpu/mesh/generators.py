@@ -55,6 +55,43 @@ def unit_square_mesh(maxh: float = 0.1) -> Mesh:
     return mesh
 
 
+def rectangle_mesh(
+    maxh: float = 0.1, length: float = 2.0, height: float = 0.41
+) -> Mesh:
+    """Structured channel rectangle: inlet (x=0), outlet (x=length),
+    wall (y=0, y=height)."""
+    nx = max(1, round(length / maxh))
+    ny = max(1, round(height / maxh))
+    xs = np.linspace(0.0, length, nx + 1)
+    ys = np.linspace(0.0, height, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    tris = []
+    for i in range(nx):
+        for j in range(ny):
+            v00, v10 = vid(i, j), vid(i + 1, j)
+            v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
+            if (i + j) % 2 == 0:
+                tris += [[v00, v10, v11], [v00, v11, v01]]
+            else:
+                tris += [[v00, v10, v01], [v10, v11, v01]]
+    mesh = Mesh(pts, np.array(tris, dtype=np.int32))
+    mesh.ensure_positive_orientation()
+    mesh.tag_boundary_by_predicate("inlet", lambda p: np.abs(p[:, :, 0]) < _TOL)
+    mesh.tag_boundary_by_predicate(
+        "outlet", lambda p: np.abs(p[:, :, 0] - length) < _TOL
+    )
+    mesh.tag_boundary_by_predicate(
+        "wall",
+        lambda p: (np.abs(p[:, :, 1]) < _TOL) | (np.abs(p[:, :, 1] - height) < _TOL),
+    )
+    return mesh
+
+
 def cavity_mesh(maxh: float = 0.05) -> Mesh:
     """Unit-square lid-driven cavity: lid (top) + wall (other three sides)."""
     mesh = unit_square_mesh(maxh)

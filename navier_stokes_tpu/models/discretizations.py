@@ -83,21 +83,31 @@ def mini():
 
 
 def bdm_hybrid(order: int, penalty: float, hodivfree: bool = False):
+    """HDiv-BDM x tangential-facet pair (discretizations.py:59-67)."""
+
     def discretization(mesh, velocity_dirichlet):
-        raise NotImplementedError(
-            "H(div)-BDM hybrid spaces are the next discretization wave "
-            "(reference: discretizations.py:59-67)"
-        )
+        from ..fem.hdiv import HDiv, VectorFacet
+        from .stokes_hybrid import HybridVelocitySpace
+
+        V = HDiv(mesh, order, dirichlet=velocity_dirichlet, RT=False)
+        Vhat = VectorFacet(mesh, order, dirichlet=velocity_dirichlet)
+        Q = L2(mesh, 0 if hodivfree else order - 1)
+        return HybridVelocitySpace(V, Vhat), Q
 
     return (discretization, order)
 
 
 def rt_hybrid(order: int, penalty: float, hodivfree: bool = False):
+    """HDiv-RT x tangential-facet pair (discretizations.py:70-78)."""
+
     def discretization(mesh, velocity_dirichlet):
-        raise NotImplementedError(
-            "H(div)-RT hybrid spaces are the next discretization wave "
-            "(reference: discretizations.py:70-78)"
-        )
+        from ..fem.hdiv import HDiv, VectorFacet
+        from .stokes_hybrid import HybridVelocitySpace
+
+        V = HDiv(mesh, order, dirichlet=velocity_dirichlet, RT=True)
+        Vhat = VectorFacet(mesh, order, dirichlet=velocity_dirichlet)
+        Q = L2(mesh, 0 if hodivfree else order - 1)
+        return HybridVelocitySpace(V, Vhat), Q
 
     return (discretization, order)
 

@@ -63,7 +63,9 @@ class NavierStokes:
         volumeforce=None,
         dtype=jnp.float64,
         grad_div: float = 2.0,
+        preconditioner: str = "twolevel",
     ):
+        self.preconditioner = preconditioner
         self.nu = nu
         self.timestep = timestep
         self.uin = uin
@@ -218,8 +220,31 @@ class NavierStokes:
         diagA_c = jnp.where(free[None], diagA_c, 1.0)
         inv_diagA = 1.0 / diagA_c
 
-        def preA(u):
-            return (inv_diagA * u.reshape(d, n)).reshape(-1)
+        if self.preconditioner == "twolevel":
+            # per-component two-level additive Schwarz (the reference's
+            # MypreA structure: block smoother + order-1 H1 coarse, :310-391)
+            from ..precond.twolevel import two_level_preconditioner
+
+            pres = []
+            for c in range(d):
+                a_loc_c = nu * (
+                    K_loc + (gd * DD_loc[:, :, c, :, c] if gd else 0.0)
+                )
+                pres.append(
+                    two_level_preconditioner(
+                        self.V.scalar, a_loc_c, coefficient=nu,
+                        smoother="patch", dtype=self.dtype,
+                    )
+                )
+
+            def preA(u):
+                u2 = u.reshape(d, n)
+                return jnp.stack([pres[c](u2[c]) for c in range(d)]).reshape(-1)
+
+        else:
+
+            def preA(u):
+                return (inv_diagA * u.reshape(d, n)).reshape(-1)
 
         self.preA = preA
 
@@ -304,19 +329,30 @@ class NavierStokes:
                 self.Project()
             return
 
-        free = self.free_s
-        f_mod = jnp.where(
-            free[None],
-            self.f - self._stokesA_raw(self.u_bc),
-            0.0,
-        ).reshape(-1)
-        g_mod = -self.B_raw(self.u_bc.reshape(-1))
+        # the ENTIRE solve — rhs transform, Lanczos scaling, CG loop — is one
+        # jitted XLA program: per-op dispatch latency (large on a remote TPU
+        # tunnel) would otherwise dominate (SURVEY.md section 3.1's
+        # Python->C++ boundary problem, reborn as dispatch overhead)
+        key = (tol, maxsteps)
+        if getattr(self, "_solve_key", None) != key:
+            self._solve_key = key
+
+            @jax.jit
+            def solve_initial(f, u_bc_flat):
+                u_bc2 = u_bc_flat.reshape(self.d, self.n)
+                f_mod = jnp.where(
+                    self.free_s[None], f - self._stokesA_raw(u_bc2), 0.0
+                ).reshape(-1)
+                g_mod = -self.B_raw(u_bc_flat)
+                return bramble_pasciak_cg_opt(
+                    self.A, self.B, self.BT, self.preA, self.preM,
+                    f_mod, g_mod, tol=tol, maxsteps=maxsteps, rel_err=True,
+                )
+
+            self._solve_initial_jit = solve_initial
 
         timer = Timer("stokes-bpcg").Start()
-        res = bramble_pasciak_cg_opt(
-            self.A, self.B, self.BT, self.preA, self.preM,
-            f_mod, g_mod, tol=tol, maxsteps=maxsteps, rel_err=True,
-        )
+        res = self._solve_initial_jit(self.f, self.u_bc.reshape(-1))
         timer.Stop(res.x)
         self.u = self.u_bc.reshape(-1) + res.x[0]
         self.p = res.x[1]

@@ -77,6 +77,7 @@ def build_stokes_system(
     uin=None,
     volume_force=default_volume_force,
     dtype=jnp.float64,
+    a_pre: str = "jacobi",
 ) -> StokesSystem:
     V, Q = discretization(mesh, velocity_dirichlet)
     Vs = V.scalar
@@ -119,15 +120,30 @@ def build_stokes_system(
         y = jnp.where(free_s[None], y, 0.0)
         return y.reshape(-1)
 
-    # preconditioners: Jacobi on A (per component) and on the pressure mass
-    # (the reference's 'local' Schur preconditioner, run.py:62)
-    diag_K = asm.diagonal_of_local(K_loc, eldofs_u, n)
-    diag_K = jnp.where(free_s, diag_K, 1.0)
-    inv_diag_K = 1.0 / diag_K
+    # A-preconditioner: two-level additive Schwarz (the BDDC stand-in) or
+    # Jacobi; Schur preconditioner = pressure-mass Jacobi (the reference's
+    # 'local', run.py:62)
+    if a_pre == "twolevel":
+        from ..precond.twolevel import two_level_preconditioner
 
-    def preA(u):
-        u2 = u.reshape(d, n)
-        return (inv_diag_K[None] * u2).reshape(-1)
+        pre_s = two_level_preconditioner(
+            Vs, K_loc, coefficient=1.0, smoother="patch", dtype=dtype
+        )
+
+        def preA(u):
+            return jax.vmap(pre_s)(u.reshape(d, n)).reshape(-1)
+
+    elif a_pre == "jacobi":
+        diag_K = asm.diagonal_of_local(K_loc, eldofs_u, n)
+        diag_K = jnp.where(free_s, diag_K, 1.0)
+        inv_diag_K = 1.0 / diag_K
+
+        def preA(u):
+            u2 = u.reshape(d, n)
+            return (inv_diag_K[None] * u2).reshape(-1)
+
+    else:
+        raise ValueError(f"unknown a_pre {a_pre!r}")
 
     diag_Mp = asm.diagonal_of_local(Mp_loc, eldofs_p, Q.ndof)
     preM = jacobi(diag_Mp)

@@ -39,8 +39,14 @@ def block_jacobi(blocks_dofs: np.ndarray, block_mats: jax.Array, ndof: int,
     ``block_mats``: (nblocks, bmax, bmax) local matrices (rows/cols of the
     global operator restricted to each block; padding rows/cols must be
     identity).  Overlapping blocks are summed (additive Schwarz).
+
+    Block inverses are computed on host in float64 (TPU XLA lacks batched
+    f64 LU) and shipped as a device constant.
     """
-    inv = jnp.linalg.inv(block_mats)
+    inv = jnp.asarray(
+        np.linalg.inv(np.asarray(block_mats, np.float64)),
+        jnp.asarray(block_mats).dtype,
+    )
     dofs = jnp.asarray(blocks_dofs, jnp.int32)
     pad = dofs < 0
     safe = jnp.where(pad, 0, dofs)

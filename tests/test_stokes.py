@@ -142,7 +142,9 @@ def test_run_harness_csv_schema(tmp_path):
 
 
 def test_unimplemented_discretizations_raise():
+    from navier_stokes_tpu.models.discretizations import hcurldiv
+
     mesh = unit_square_mesh(0.5)
-    disc, _ = bdm_hybrid(2, 10)
+    disc, _ = hcurldiv(2)
     with pytest.raises(NotImplementedError):
-        disc(mesh, "left")
+        disc(mesh, "left", "right")
