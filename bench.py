@@ -1,12 +1,15 @@
-"""Benchmark: Bramble-Pasciak CG iteration throughput on the flagship model.
+"""Benchmark: Navier-Stokes initial Stokes solve, wall-clock to residual 1e-8.
 
-Measures the north-star metric of BASELINE.json — Krylov iterations/sec on
-the Navier-Stokes initial Stokes solve (channel-with-cylinder, order 2) —
-on the default device (TPU under the driver), against a JAX-CPU baseline of
-the same problem in the same process.
+The BASELINE.json north-star metric: Krylov iterations/sec and wall-clock to
+matched residual on the flagship model (channel-with-cylinder, order 2),
+float64, Bramble-Pasciak CG with the two-level additive-Schwarz
+preconditioner.  Runs on the default device (TPU under the driver) and
+compares against a JAX-CPU run of the identical solve in the same process.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+value = BPCG iterations/sec on the accelerator; vs_baseline = CPU wall-clock
+/ accelerator wall-clock for the same solve (>1 means faster than CPU).
 """
 
 import json
@@ -15,22 +18,26 @@ import time
 
 import jax
 
-# default platform first (axon TPU under the driver), cpu for the baseline
 try:
     jax.config.update("jax_platforms", "axon,cpu")
     jax.devices()
-except Exception:  # no TPU tunnel: plain CPU
+except Exception:
     jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np
+
+MAXH = 0.02
+TOL = 1e-8
+MAXSTEPS = 2000
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(maxh, dtype):
+def build(dtype):
     from navier_stokes_tpu.mesh import channel_with_cylinder_mesh
     from navier_stokes_tpu.models.navier_stokes import NavierStokes
 
@@ -39,70 +46,53 @@ def build(maxh, dtype):
         out[:, 0] = 1.5 * 4 * p[:, 1] * (0.41 - p[:, 1]) / 0.41**2
         return out
 
-    mesh = channel_with_cylinder_mesh(maxh)
+    mesh = channel_with_cylinder_mesh(MAXH)
     return NavierStokes(
         mesh, nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
         uin=uin, timestep=1e-3, order=2, dtype=dtype,
+        preconditioner="twolevel",
     )
 
 
-def bpcg_fixed_iters(model, iters):
-    """BPCG with a fixed iteration count (tol=0 disables early exit)."""
-    from navier_stokes_tpu.solvers.bpcg import bramble_pasciak_cg_opt
-
-    free = model.free_s
-    f_mod = jnp.where(
-        free[None], model.f - model._stokesA_raw(model.u_bc), 0.0
-    ).reshape(-1)
-    g_mod = -model.B_raw(model.u_bc.reshape(-1))
-
-    def run():
-        return bramble_pasciak_cg_opt(
-            model.A, model.B, model.BT, model.preA, model.preM,
-            f_mod, g_mod, tol=0.0, maxsteps=iters, scale_k=2.0,
-        )
-
-    jfn = jax.jit(run)
-    res = jfn()  # compile + warmup
-    jax.block_until_ready(res.x)
-    t0 = time.perf_counter()
-    res = jfn()
-    jax.block_until_ready(res.x)
-    dt = time.perf_counter() - t0
-    return iters / dt, res
-
-
-def measure(device, maxh, iters, dtype):
+def measure(device):
     with jax.default_device(device):
-        model = build(maxh, dtype)
-        ips, res = bpcg_fixed_iters(model, iters)
-    return ips
+        model = build(jnp.float64)
+        res = model.SolveInitial(iterative=True, tol=TOL, maxsteps=MAXSTEPS)
+        log(
+            f"{device.platform} cold: {model.stokes_bpcg_time:.2f}s "
+            f"iters={model.stokes_bpcg_iterations} conv={bool(res.converged)}"
+        )
+        res = model.SolveInitial(iterative=True, tol=TOL, maxsteps=MAXSTEPS)
+        iters, t = model.stokes_bpcg_iterations, model.stokes_bpcg_time
+        log(f"{device.platform} warm: {t:.3f}s iters={iters}")
+        assert bool(res.converged), "solve did not reach tol"
+    return iters, t
 
 
 def main():
-    maxh = 0.02
-    iters = 300
     devices = jax.devices()
     main_dev = devices[0]
-    log(f"benchmark device: {main_dev}, maxh={maxh}")
+    log(f"benchmark device: {main_dev}, maxh={MAXH}, tol={TOL}, f64")
 
-    ips = measure(main_dev, maxh, iters, jnp.float32)
-    log(f"{main_dev.platform}: {ips:.1f} BPCG iterations/sec")
+    iters, t_main = measure(main_dev)
+    ips = iters / t_main
 
     vs_baseline = 1.0
     if main_dev.platform != "cpu":
         try:
             cpu = jax.devices("cpu")[0]
-            cpu_ips = measure(cpu, maxh, 40, jnp.float32)
-            log(f"cpu baseline: {cpu_ips:.1f} BPCG iterations/sec")
-            vs_baseline = ips / cpu_ips
+            _, t_cpu = measure(cpu)
+            vs_baseline = t_cpu / t_main
         except Exception as e:
-            log("cpu baseline failed:", e)
+            log("cpu baseline failed:", repr(e))
 
     print(json.dumps({
-        "metric": "ns_initial_stokes_bpcg_iterations_per_sec",
+        "metric": "ns_initial_stokes_bpcg_to_1e-8",
         "value": round(ips, 2),
-        "unit": "iterations/sec (channel maxh=0.02, Taylor-Hood P2/P1, f32)",
+        "unit": (
+            f"BPCG iterations/sec, f64, channel maxh={MAXH}, "
+            f"wall={t_main:.3f}s to rel residual {TOL}"
+        ),
         "vs_baseline": round(vs_baseline, 3),
     }))
 
