@@ -113,10 +113,7 @@ def rt_hybrid(order: int, penalty: float, hodivfree: bool = False):
 
 
 def hcurldiv(order: int, raviart_thomas: bool = True):
-    def discretization(mesh, velocity_dirichlet, velocity_neumann):
-        raise NotImplementedError(
-            "H(curl,div) MCS spaces are the next discretization wave "
-            "(reference: discretizations.py:81-88)"
-        )
+    """HDiv x HCurlDiv x L2 MCS triple (discretizations.py:81-88)."""
+    from .stokes_mcs import mcs_discretization
 
-    return (discretization, order)
+    return mcs_discretization(order, raviart_thomas)
