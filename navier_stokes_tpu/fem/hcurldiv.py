@@ -69,9 +69,19 @@ class MatrixElementBasis:
         )
 
 
-def hcurldiv_triangle(order: int) -> MatrixElementBasis:
-    """Trace-free matrix element with nt-trace edge moments."""
+def hcurldiv_triangle(order: int, order_trace: int | None = None) -> MatrixElementBasis:
+    """Trace-free matrix element with nt-trace edge moments.
+
+    ``order``: polynomial degree of the matrix field (NGSolve's orderinner).
+    ``order_trace``: maximal degree of the nt-trace on edges (default =
+    order).  order_trace < order reproduces NGSolve's
+    HCurlDiv(order=order_trace, orderinner=order)
+    (NavierStokesSIMPLE_iterative.py:27): edge moments above order_trace are
+    constrained to zero, so the stress trace degree matches the tangential
+    facet space — required for the consistency of the MCS facet terms.
+    """
     k = order
+    kt = order if order_trace is None else order_trace
     M = (k + 1) * (k + 2) // 2
     dim = 3 * M
     nq = k + 2
@@ -88,6 +98,7 @@ def hcurldiv_triangle(order: int) -> MatrixElementBasis:
         return vals_m
 
     rows = []
+    keep = []  # rows that become dofs (degree <= kt); others are constraints
     for e in range(3):
         pts = edge_points(e, t)
         vm = modal_vals(pts)  # (nq, dim, 2, 2)
@@ -96,17 +107,24 @@ def hcurldiv_triangle(order: int) -> MatrixElementBasis:
             "qnij,j,i->qn", vm, _EDGE_N_SCALED[e], _EDGE_TAU[e]
         )
         for j in range(k + 1):
+            keep.append(j <= kt)
             rows.append(np.einsum("q,q,qn->n", w, legendre_01(t, j), snt))
     L = np.stack(rows)  # (3(k+1), dim)
-    W_edge = np.linalg.pinv(L)
+    keep = np.asarray(keep)
+    # edge basis: delta on the kept moments, ZERO on the constrained ones
+    pattern = np.zeros((len(rows), int(keep.sum())))
+    pattern[np.where(keep)[0], np.arange(keep.sum())] = 1.0
+    W_edge = np.linalg.pinv(L) @ pattern
     _, s, Vt = np.linalg.svd(L)
-    null = Vt[np.linalg.matrix_rank(L, tol=1e-10):].T
+    null = Vt[np.linalg.matrix_rank(L, tol=1e-10):].T  # all moments zero
     coeffs = np.concatenate([W_edge, null], axis=1).T
     nb = coeffs.shape[0]
-    assert nb == dim
+    n_edge = kt + 1
+    assert nb == dim - 3 * (k - kt)
     return MatrixElementBasis(
-        order=k, n_basis=nb, n_edge=k + 1, n_cell=nb - 3 * (k + 1),
-        coeffs=coeffs, modal_order=k, name=f"HCurlDiv{k}-tri",
+        order=k, n_basis=nb, n_edge=n_edge, n_cell=nb - 3 * n_edge,
+        coeffs=coeffs, modal_order=k,
+        name=f"HCurlDiv{k}t{kt}-tri",
     )
 
 

@@ -346,20 +346,111 @@ def hybrid_h1_embedding(V: HybridVelocitySpace, dtype=jnp.float64,
     return T, TT
 
 
-def _vector_p1_coarse(mesh, dirichlet: str, dtype=jnp.float64):
+def _vector_p1_coarse(mesh, dirichlet: str, dtype=jnp.float64,
+                      coefficient: float = 1.0):
     """Exact per-component P1 Laplacian solve (the reference's per-component
     aH1_i + h1amg, NavierStokesSIMPLE_iterative.py:310-357)."""
     from ..precond.twolevel import coarse_p1_solver
     from ..fem.spaces import H1
 
     space = H1(mesh, 1, dirichlet=dirichlet)
-    solve1 = coarse_p1_solver(space, 1.0, dtype)
+    solve1 = coarse_p1_solver(space, coefficient, dtype)
 
     def solve(r):
         r2 = r.reshape(2, mesh.nv)
         return jnp.stack([solve1(r2[0]), solve1(r2[1])]).reshape(-1)
 
     return solve
+
+
+def build_hybrid_preconditioner(
+    V: HybridVelocitySpace,
+    A_loc_np: np.ndarray,
+    a_pre: str,
+    velocity_dirichlet: str,
+    dtype=jnp.float64,
+    coarse_coefficient: float = 1.0,
+):
+    """A-block preconditioner for [HDiv | facet] systems (shared by the HDG
+    Stokes and the condensed MCS Navier-Stokes operator).
+
+    ``jacobi`` | ``edgeblock`` (disjoint per-edge + per-cell blocks) |
+    ``vertexstar`` (overlapping vertex patches) | ``auxspace``
+    (vertexstar + vector-P1 coarse correction — the reference's MypreA
+    structure, NavierStokesSIMPLE_iterative.py:211-391).
+    """
+    mesh = V.mesh
+    nV = V.ndof
+    free = jnp.asarray(V.free_mask)
+
+    if a_pre == "jacobi":
+        diag = asm.diagonal_of_local(
+            jnp.asarray(A_loc_np, dtype), jnp.asarray(V.element_dofs), nV
+        )
+        diag = jnp.where(free, diag, 1.0)
+
+        def preA(u):
+            return jnp.where(free, u / diag, u)
+
+        return preA
+
+    from ..precond.jacobi import block_jacobi, extract_blocks_from_local
+
+    ne_d, nf_d = V.hdiv.basis.n_edge, V.facet.n_edge
+    nc_d = V.hdiv.basis.n_cell
+    off_c = mesh.nedge * ne_d
+    fmask = V.free_mask
+    blocks = []
+    if a_pre == "edgeblock":
+        for f in range(mesh.nedge):
+            blk = list(range(f * ne_d, (f + 1) * ne_d)) + list(
+                range(V.hdiv.ndof + f * nf_d, V.hdiv.ndof + (f + 1) * nf_d)
+            )
+            blocks.append(blk)
+        for e in range(mesh.ne):
+            blocks.append(list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d)))
+    else:
+        # overlapping vertex-star patches: all hdiv+facet dofs of edges
+        # incident to the vertex plus interior dofs of touching elements
+        vblocks: list[list[int]] = [[] for _ in range(mesh.nv)]
+        for f, (a, b) in enumerate(mesh.edges.tolist()):
+            dofs_f = list(range(f * ne_d, (f + 1) * ne_d)) + list(
+                range(V.hdiv.ndof + f * nf_d, V.hdiv.ndof + (f + 1) * nf_d)
+            )
+            vblocks[a].extend(dofs_f)
+            vblocks[b].extend(dofs_f)
+        for e, verts in enumerate(mesh.elements.tolist()):
+            dofs_e = list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d))
+            for v in verts:
+                vblocks[v].extend(dofs_e)
+        blocks = vblocks
+    blocks = [
+        np.asarray([d for d in blk if fmask[d]], np.int32) for blk in blocks
+    ]
+    blocks = [b for b in blocks if len(b)]
+    dofs, mats = extract_blocks_from_local(
+        A_loc_np, V.element_dofs, blocks, nV
+    )
+    smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
+
+    if a_pre == "auxspace":
+        T, TT = hybrid_h1_embedding(V, dtype)
+        coarse = _vector_p1_coarse(
+            mesh, velocity_dirichlet, dtype, coefficient=coarse_coefficient
+        )
+
+        def preA(u):
+            uf = jnp.where(free, u, 0.0)
+            y = smooth(uf) + T(coarse(TT(uf)))
+            return jnp.where(free, y, u)
+
+    else:
+
+        def preA(u):
+            uf = jnp.where(free, u, 0.0)
+            return jnp.where(free, smooth(uf), u)
+
+    return preA
 
 
 def build_hybrid_stokes_system(
@@ -405,76 +496,9 @@ def build_hybrid_stokes_system(
         y = asm.scatter_add(ue, eldofs_v, nV)
         return jnp.where(free, y, 0.0)
 
-    # A-preconditioner
-    if a_pre in ("edgeblock", "auxspace", "vertexstar"):
-        from ..precond.jacobi import block_jacobi, extract_blocks_from_local
-
-        ne_d, nf_d = V.hdiv.basis.n_edge, V.facet.n_edge
-        nc_d = V.hdiv.basis.n_cell
-        off_c = mesh.nedge * ne_d
-        fmask = V.free_mask
-        blocks = []
-        if a_pre == "edgeblock":
-            # disjoint per-edge blocks + per-cell blocks
-            for f in range(mesh.nedge):
-                blk = list(range(f * ne_d, (f + 1) * ne_d)) + list(
-                    range(V.hdiv.ndof + f * nf_d, V.hdiv.ndof + (f + 1) * nf_d)
-                )
-                blocks.append(blk)
-            for e in range(mesh.ne):
-                blocks.append(
-                    list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d))
-                )
-        else:
-            # overlapping vertex-star patches: all hdiv+facet dofs of edges
-            # incident to the vertex plus interior dofs of touching elements
-            vblocks: list[list[int]] = [[] for _ in range(mesh.nv)]
-            for f, (a, b) in enumerate(mesh.edges.tolist()):
-                dofs_f = list(range(f * ne_d, (f + 1) * ne_d)) + list(
-                    range(V.hdiv.ndof + f * nf_d, V.hdiv.ndof + (f + 1) * nf_d)
-                )
-                vblocks[a].extend(dofs_f)
-                vblocks[b].extend(dofs_f)
-            for e, verts in enumerate(mesh.elements.tolist()):
-                dofs_e = list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d))
-                for v in verts:
-                    vblocks[v].extend(dofs_e)
-            blocks = vblocks
-        blocks = [
-            np.asarray([d for d in blk if fmask[d]], np.int32)
-            for blk in blocks
-        ]
-        blocks = [b for b in blocks if len(b)]
-        dofs, mats = extract_blocks_from_local(
-            A_loc_np, V.element_dofs, blocks, nV
-        )
-        smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
-
-        if a_pre == "auxspace":
-            # auxiliary-space coarse correction: vector P1 H1 functions
-            # embedded via their edge normal/tangential moments — the
-            # structure of the reference's MypreA transfer
-            # (NavierStokesSIMPLE_iterative.py:211-391)
-            T, TT = hybrid_h1_embedding(V, dtype)
-            coarse = _vector_p1_coarse(mesh, velocity_dirichlet, dtype)
-
-            def preA(u):
-                uf = jnp.where(free, u, 0.0)
-                y = smooth(uf) + T(coarse(TT(uf)))
-                return jnp.where(free, y, u)
-
-        else:
-
-            def preA(u):
-                uf = jnp.where(free, u, 0.0)
-                return jnp.where(free, smooth(uf), u)
-
-    else:  # jacobi
-        diag = asm.diagonal_of_local(A_loc, eldofs_v, nV)
-        diag = jnp.where(free, diag, 1.0)
-
-        def preA(u):
-            return jnp.where(free, u / diag, u)
+    preA = build_hybrid_preconditioner(
+        V, A_loc_np, a_pre, velocity_dirichlet, dtype
+    )
 
     # Schur preconditioner: pressure-mass Jacobi ('local', run.py:62)
     tq = asm.make_tables(Q, 2 * max(Q.order, 1), dtype)

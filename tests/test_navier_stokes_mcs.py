@@ -1,0 +1,98 @@
+"""NavierStokesMCS: the reference's MCS discretization with static
+condensation, upwind-DG convection and the SIMPLE-style API."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_tpu.fem.quadrature import triangle_rule
+from navier_stokes_tpu.mesh import channel_with_cylinder_mesh
+from navier_stokes_tpu.mesh.generators import rectangle_mesh
+from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
+
+
+def uin(p):
+    out = np.zeros((len(p), 2))
+    out[:, 0] = 1.5 * 4 * p[:, 1] * (0.41 - p[:, 1]) / 0.41**2
+    return out
+
+
+def _eval_velocity(ns):
+    mesh, V = ns.mesh, ns.V
+    q = triangle_rule(6)
+    vals_ref, _ = V.basis.tabulate(q.points)
+    J, detJ, _ = mesh.element_jacobians
+    ue = ns.velocity[V.element_dofs] * V.element_signs
+    val_p = np.einsum("ecA,qiA->eqic", J, vals_ref) / detJ[:, None, None, None]
+    uq = np.einsum("eqic,ei->eqc", val_p, ue)
+    qpts = mesh.points[mesh.elements[:, 0]][:, None, :] + np.einsum(
+        "eab,qb->eqa", J, q.points
+    )
+    return uq, qpts
+
+
+def test_mcs_ns_poiseuille_exact():
+    """Steady Stokes solve reproduces Poiseuille exactly: validates the
+    4-field assembly, static condensation, reduced-trace stress element and
+    the BC machinery in one shot."""
+    mesh = rectangle_mesh(0.1, length=1.0, height=0.41)
+    ns = NavierStokesMCS(
+        mesh, nu=0.01, inflow="inlet", outflow="outlet", wall="wall",
+        uin=uin, timestep=1e-3, order=2,
+    )
+    res = ns.SolveInitial(iterative=True, tol=1e-11, maxsteps=50000)
+    assert bool(res.converged)
+    assert ns.stokes_bpcg_iterations > 0 and ns.stokes_bpcg_time > 0
+    uq, qpts = _eval_velocity(ns)
+    exact_x = 1.5 * 4 * qpts[..., 1] * (0.41 - qpts[..., 1]) / 0.41**2
+    assert np.abs(uq[..., 0] - exact_x).max() < 1e-6
+    assert np.abs(uq[..., 1]).max() < 1e-6
+    assert float(jnp.linalg.norm(ns.B_raw(ns.u))) < 1e-7
+
+
+@pytest.fixture(scope="module")
+def ns_channel():
+    mesh = channel_with_cylinder_mesh(0.15)
+    model = NavierStokesMCS(
+        mesh, nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
+        uin=uin, timestep=1e-3, order=2,
+    )
+    model.SolveInitial(iterative=True, tol=1e-9, maxsteps=100000)
+    return model
+
+
+def test_mcs_ns_channel_steady(ns_channel):
+    ns = ns_channel
+    assert float(jnp.linalg.norm(ns.B_raw(ns.u))) < 1e-5
+    uq, _ = _eval_velocity(ns)
+    assert 1.0 < np.abs(uq).max() < 20.0
+
+
+def test_mcs_ns_time_stepping(ns_channel):
+    ns = ns_channel
+    u0 = ns.u
+    for _ in range(3):
+        ns.DoTimeStep()
+    assert bool(jnp.all(jnp.isfinite(ns.u)))
+    # near steady state the step change is small
+    assert float(jnp.abs(ns.u - u0).max()) < 0.5
+    assert float(jnp.linalg.norm(ns.B_raw(ns.u))) < 1e-4
+    ns.u = u0
+
+
+def test_mcs_ns_project(ns_channel):
+    ns = ns_channel
+    rng = np.random.default_rng(0)
+    v = jnp.where(
+        ns.free & ns._umask,
+        jnp.asarray(rng.standard_normal(ns.n)), 0.0,
+    )
+    v_proj = ns.Project(v)
+    assert float(jnp.linalg.norm(ns.B_raw(v_proj))) < 1e-6
+
+
+def test_mcs_ns_stress_reconstruction(ns_channel):
+    ns = ns_channel
+    sw = ns.reconstruct_stress()
+    assert sw.shape == (ns.mesh.ne, ns.sigma_basis.n_basis + ns.Wspace.basis.n_basis)
+    assert np.all(np.isfinite(sw))
