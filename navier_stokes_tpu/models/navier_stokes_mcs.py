@@ -396,7 +396,7 @@ class NavierStokesMCS:
         return cg(self.mstar, rhs, pre=self.preMstar, tol=precision,
                   maxsteps=maxsteps).x
 
-    def _project_velocity(self, u, tol: float = 1e-8, maxsteps: int = 500):
+    def _project_velocity(self, u, tol: float = 1e-9, maxsteps: int = 2000):
         def Minv(r):
             return cg(self._Mv, r, pre=self._preMv, tol=1e-10, maxsteps=400).x
 
