@@ -65,17 +65,19 @@ def extract_blocks_from_local(
     a_local: np.ndarray, eldofs: np.ndarray, blocks: list[np.ndarray], ndof: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side: build padded (dofs, dense block) pairs for ``block_jacobi``
-    by restricting the globally-assembled operator to each dof block."""
-    from ..ops.assembly import assemble_csr
+    by restricting the globally-assembled operator to each dof block.
 
-    A = assemble_csr(a_local, eldofs, ndof).tocsc()
+    Uses the native meshkit kernel when available (the per-block scipy
+    fancy-indexing loop is the setup hotspot at scale); numpy fallback
+    otherwise."""
+    from ..ops.assembly import assemble_csr
+    from ..utils import native
+
+    A = assemble_csr(a_local, eldofs, ndof)
     bmax = max(len(b) for b in blocks)
     nb = len(blocks)
     dofs = -np.ones((nb, bmax), dtype=np.int32)
-    mats = np.tile(np.eye(bmax), (nb, 1, 1))
     for i, b in enumerate(blocks):
-        b = np.asarray(b, dtype=np.int32)
-        dofs[i, : len(b)] = b
-        sub = A[b][:, b].toarray()
-        mats[i, : len(b), : len(b)] = sub
+        dofs[i, : len(b)] = np.asarray(b, dtype=np.int32)
+    mats = native.extract_blocks_csr(A, dofs)
     return dofs, mats

@@ -23,9 +23,14 @@ from navier_stokes_tpu.models.discretizations import (
     P1_nonconforming_velocity_constant_pressure,
     P2_velocity_constant_pressure,
     P2_velocity_with_cubic_bubbles_linear_pressure,
+    bdm_hybrid,
+    hcurldiv,
     mini,
+    rt_hybrid,
     taylor_hood,
 )
+from navier_stokes_tpu.models.stokes_hybrid import solve_hybrid
+from navier_stokes_tpu.models.stokes_mcs import solve_hcurldiv
 
 
 def profiling_enabled():
@@ -39,6 +44,8 @@ def data_file():
 
 
 mesh_sizes = [0.1]  # , 0.05, 0.025, 0.01]
+# the three solve families of run.py:266-288; the reference's active config
+# is "HDG BDM 2"
 methods = {
     "mixed": {
         "solve": st.solve,
@@ -49,6 +56,19 @@ methods = {
             "P2+, P1": P2_velocity_with_cubic_bubbles_linear_pressure(),
             "taylor hood 2": taylor_hood(2),
             "taylor hood 3": taylor_hood(3),
+        },
+    },
+    "hybrid_dg": {
+        "solve": solve_hybrid,
+        "discretizations": {
+            "HDG BDM 2": bdm_hybrid(2, 10),
+            # "HDG RT 1": rt_hybrid(1, 10),
+        },
+    },
+    "mcs": {
+        "solve": lambda mesh, disc, solver: solve_hcurldiv(mesh, disc, solver),
+        "discretizations": {
+            "MCS RT 2": hcurldiv(2),
         },
     },
 }
