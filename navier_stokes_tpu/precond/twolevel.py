@@ -32,7 +32,7 @@ from ..ops import assembly as asm
 from .jacobi import block_jacobi, extract_blocks_from_local
 
 
-def p1_embedding(space: FunctionSpace):
+def p1_embedding(space: FunctionSpace, dtype=jnp.float64):
     """(P, PT): embed P1 vertex functions into ``space`` and its transpose.
 
     P maps coarse (nv,) -> fine (ndof,) by interpolation (exact for nested
@@ -57,8 +57,8 @@ def p1_embedding(space: FunctionSpace):
     # multiplicity weights so the overlapping scatter averages to the value
     mult = np.zeros(ndof)
     np.add.at(mult, space.element_dofs.ravel(), 1.0)
-    winv = jnp.asarray(1.0 / np.maximum(mult, 1.0))
-    lam_j = jnp.asarray(lam)
+    winv = jnp.asarray(1.0 / np.maximum(mult, 1.0), dtype)
+    lam_j = jnp.asarray(lam, dtype)
 
     def P(c):
         ce = c[elverts]  # (ne, dim+1)
@@ -158,7 +158,7 @@ def two_level_preconditioner(
     in the reference's per-component aH1_i = nu grad.grad forms, :314-318).
     """
     free = jnp.asarray(space.free_mask)
-    P, PT = p1_embedding(space)
+    P, PT = p1_embedding(space, dtype)
     coarse = coarse_p1_solver(space, coefficient, dtype)
 
     if smoother == "patch":
