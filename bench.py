@@ -27,6 +27,9 @@ try:
 except Exception:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# TPU f32 matmuls default to bf16 multiplication; the Krylov machinery needs
+# true f32 accumulation (Lanczos orthogonality, operator consistency)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp
 import numpy as np

@@ -76,9 +76,12 @@ def lanczos_eigenvalues(A, pre, example_vec, iterations: int = 40, key=None):
         # are zero so they contribute nothing.  Two passes ("twice is
         # enough"): one classical Gram-Schmidt pass degrades to O(1e-7)
         # orthogonality within ~20 iterations and garbage Ritz values by 50.
+        # HIGHEST precision: TPU f32 matmuls default to bf16 multiplication,
+        # which destroys the orthogonalization (and the Ritz values with it)
+        hp = jax.lax.Precision.HIGHEST
         for _ in range(2):
-            proj = Vb @ w
-            w = w - Zb.T @ proj
+            proj = jnp.matmul(Vb, w, precision=hp)
+            w = w - jnp.matmul(Zb.T, proj, precision=hp)
         v_new = pref(w)
         beta = jnp.sqrt(jnp.abs(jnp.vdot(w, v_new)))
         eps = jnp.asarray(1e-10, dtype) * (jnp.abs(alpha) + 1.0)

@@ -125,11 +125,20 @@ def scatter_add(local: jax.Array, eldofs: jax.Array, ndof: int) -> jax.Array:
 
 
 def apply_local_matrices(
-    a_local: jax.Array, eldofs: jax.Array, ndof: int, u: jax.Array
+    a_local: jax.Array, eldofs: jax.Array, ndof: int, u: jax.Array,
+    use_pallas: bool = False,
 ) -> jax.Array:
-    """y = A u with A given by per-element dense blocks (gather-einsum-scatter)."""
+    """y = A u with A given by per-element dense blocks (gather-einsum-scatter).
+
+    ``use_pallas`` routes the batched local matvec through the Pallas tile
+    kernel (ops.pallas_kernels); the XLA einsum is the default."""
     ue = u[eldofs]
-    ye = jnp.einsum("eij,ej->ei", a_local, ue)
+    if use_pallas:
+        from .pallas_kernels import batched_local_matvec
+
+        ye = batched_local_matvec(a_local, ue)
+    else:
+        ye = jnp.einsum("eij,ej->ei", a_local, ue)
     return jnp.zeros(ndof, ye.dtype).at[eldofs].add(ye)
 
 

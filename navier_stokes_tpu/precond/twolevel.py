@@ -96,7 +96,7 @@ def coarse_p1_solver(
 
     def solve(r):
         rf = r[free_j]
-        xf = inv @ rf
+        xf = jnp.matmul(inv, rf, precision=jax.lax.Precision.HIGHEST)
         return jnp.zeros(nv, r.dtype).at[free_j].set(xf)
 
     return solve

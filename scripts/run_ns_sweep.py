@@ -21,6 +21,7 @@ import pandas as pd
 
 from navier_stokes_tpu.mesh import channel_with_cylinder_mesh
 from navier_stokes_tpu.models.navier_stokes import NavierStokes
+from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
 
 
 def uin(p):
@@ -30,26 +31,32 @@ def uin(p):
 
 
 def solve(mesh_size: float, order: int, gauss_seidel: bool,
-          ns_cache: dict) -> tuple[int, float]:
+          ns_cache: dict, mcs: bool = True) -> tuple[int, float]:
+    """One NavierStokes object is reused across both GS settings per (h, p)
+    like the reference (run_navier_stokes_parameter_sweep.py:53-56).  The
+    MCS model is the reference-faithful discretization; --taylor-hood
+    switches to the H1 pair."""
     key = (mesh_size, order)
     if key not in ns_cache:
         mesh = channel_with_cylinder_mesh(mesh_size)
         ns_cache.clear()  # keep at most one model alive (memory)
-        ns_cache[key] = NavierStokes(
+        cls = NavierStokesMCS if mcs else NavierStokes
+        ns_cache[key] = cls(
             mesh, nu=0.001, inflow="inlet", outflow="outlet",
             wall="wall|cyl", uin=uin, timestep=1e-3, order=order,
         )
     ns = ns_cache[key]
-    ns.SolveInitial(iterative=True, GS=gauss_seidel)
+    ns.SolveInitial(iterative=True, GS=gauss_seidel, tol=1e-10)
     return ns.stokes_bpcg_iterations, ns.stokes_bpcg_time
 
 
 if __name__ == "__main__":
     # reference grids: h = 2^-5..2^0, order 7..2 (:44-46); default here is a
     # wall-clock-bounded subset, override via argv: run_ns_sweep.py full
-    full = len(sys.argv) > 1 and sys.argv[1] == "full"
+    full = "full" in sys.argv[1:]
+    mcs = "--taylor-hood" not in sys.argv[1:]
     mesh_sizes = [2.0**-e for e in ([5, 4, 3, 2, 1, 0] if full else [3, 2, 1])]
-    orders = list(range(7, 1, -1)) if full else [4, 3, 2]
+    orders = list(range(7, 1, -1)) if full else ([3, 2] if mcs else [4, 3, 2])
     data_file = "data.csv"
 
     frames = []
@@ -58,7 +65,7 @@ if __name__ == "__main__":
         for order in orders:
             for gauss_seidel in [True, False]:
                 print(f"h={mesh_size} p={order} GS={gauss_seidel}")
-                iterations, time = solve(mesh_size, order, gauss_seidel, cache)
+                iterations, time = solve(mesh_size, order, gauss_seidel, cache, mcs)
                 frames.append(
                     pd.DataFrame(
                         {
