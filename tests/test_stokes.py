@@ -141,10 +141,21 @@ def test_run_harness_csv_schema(tmp_path):
     assert read["method"].iloc[0] == "mixed"
 
 
-def test_unimplemented_discretizations_raise():
-    from navier_stokes_tpu.models.discretizations import hcurldiv
+def test_catalog_is_complete():
+    """All 9 discretization-catalog entries construct their spaces
+    (discretizations.py:6-88 parity)."""
+    from navier_stokes_tpu.models import discretizations as dc
 
-    mesh = unit_square_mesh(0.5)
-    disc, _ = hcurldiv(2)
-    with pytest.raises(NotImplementedError):
-        disc(mesh, "left", "right")
+    mesh = channel_with_cylinder_mesh(0.2)
+    for factory in [
+        dc.taylor_hood(2), dc.P1_nonconforming_velocity_constant_pressure(),
+        dc.P2_velocity_constant_pressure(), dc.P2_velocity_linear_pressure(),
+        dc.P2_velocity_with_cubic_bubbles_linear_pressure(), dc.mini(),
+        dc.bdm_hybrid(2, 10), dc.rt_hybrid(1, 10),
+    ]:
+        disc, order = factory
+        V, Q = disc(mesh, "wall|inlet|cyl")
+        assert V.ndof > 0 and Q.ndof > 0
+    disc, order = dc.hcurldiv(2)
+    V, S, Q = disc(mesh, "wall|inlet|cyl", "outlet")
+    assert V.ndof > 0 and S.ndof > 0 and Q.ndof > 0
