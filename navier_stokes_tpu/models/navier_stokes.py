@@ -264,7 +264,26 @@ class NavierStokes:
         # vs the reference's unscaled 'local' jacobi at nu=1e-3).
         diag_Mp = asm.diagonal_of_local(self.Mp_loc, tp.eldofs, self.Q.ndof)
         preM_unit = jacobi(diag_Mp)
-        self.preM = lambda p: nu * preM_unit(p)
+        if not self.outflow:
+            # enclosed flow (e.g. lid-driven cavity): pressure is defined up
+            # to a constant — deflate the constant from the Schur block
+            nq = self.Q.ndof
+
+            def demean(p):
+                return p - jnp.mean(p)
+
+            B_enc, BT_enc = B, BT
+            self.B = lambda u: demean(B_enc(u))
+            self.B_raw_inner = B_raw
+
+            def B_raw_demeaned(u):
+                return demean(B_raw(u))
+
+            self.B_raw = B_raw_demeaned
+            self.BT = lambda p: BT_enc(demean(p))
+            self.preM = lambda p: nu * demean(preM_unit(demean(p)))
+        else:
+            self.preM = lambda p: nu * preM_unit(p)
 
         # velocity mass (masked) + its Jacobi, for the projection Schur solve
         self.Mv = masked(mass_raw)

@@ -271,8 +271,20 @@ class NavierStokesMCS:
         self.preMstar = lambda u: jnp.where(free, u / diag_m, u)
         tq = asm.make_tables(self.Q, 2 * max(self.Q.order, 1), dtype)
         diag_Mp = asm.diagonal_of_local(asm.mass_local(tq), tq.eldofs, self.Q.ndof)
-        self.preM = lambda p: nu * p / diag_Mp
-        self._preM_proj = lambda p: p / diag_Mp
+        if not outflow:
+            # enclosed flow: deflate the constant-pressure nullspace
+            def demean(p):
+                return p - jnp.mean(p)
+
+            B_enc, B_raw_enc, BT_enc = self.B, self.B_raw, self.BT
+            self.B = lambda u: demean(B_enc(u))
+            self.B_raw = lambda u: demean(B_raw_enc(u))
+            self.BT = lambda p: BT_enc(demean(p))
+            self.preM = lambda p: nu * demean(demean(p) / diag_Mp)
+            self._preM_proj = lambda p: demean(demean(p) / diag_Mp)
+        else:
+            self.preM = lambda p: nu * p / diag_Mp
+            self._preM_proj = lambda p: p / diag_Mp
         diag_Mv = asm.diagonal_of_local(self._M_loc, eldofs, n)
         diag_Mv = jnp.where(free & (jnp.abs(diag_Mv) > 1e-30), diag_Mv, 1.0)
         self._preMv = lambda u: jnp.where(free, u / diag_Mv, u)
