@@ -78,13 +78,18 @@ def build_stokes_system(
     volume_force=default_volume_force,
     dtype=jnp.float64,
     a_pre: str = "jacobi",
+    geometry=None,
 ) -> StokesSystem:
+    """``geometry``: optional CurvedGeometry for isoparametric (curved
+    cylinder) elements — the mesh.Curve(3) parity path (run.py:28)."""
     V, Q = discretization(mesh, velocity_dirichlet)
     Vs = V.scalar
     d, n = mesh.dim, Vs.ndof
     qd = 2 * max(Vs.order, Q.order, 1)
-    tu = asm.make_tables(Vs, qd, dtype)
-    tp = asm.make_tables(Q, qd, dtype)
+    if geometry is not None:
+        qd += 2 * (geometry.order - 1)
+    tu = asm.make_tables(Vs, qd, dtype, geometry=geometry)
+    tp = asm.make_tables(Q, qd, dtype, geometry=geometry)
     K_loc = asm.stiffness_local(tu)
     Mp_loc = asm.mass_local(tp)
     D_loc = asm.divergence_local(tp, tu)

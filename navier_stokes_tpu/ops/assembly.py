@@ -45,16 +45,28 @@ def make_tables(
     space: FunctionSpace,
     quad_degree: int | None = None,
     dtype=jnp.float64,
+    geometry=None,
 ) -> SpaceTables:
-    """Tabulate basis + geometry for ``space`` at a shared quadrature rule."""
+    """Tabulate basis + geometry for ``space`` at a shared quadrature rule.
+
+    ``geometry``: optional mesh.curved.CurvedGeometry — switches to
+    isoparametric per-quadrature-point Jacobians (detj (ne, nq), jinv
+    (ne, nq, d, d)); all assembly kernels handle both ranks."""
     mesh = space.mesh
     if quad_degree is None:
         quad_degree = 2 * max(space.order, 1)
+        if geometry is not None:
+            quad_degree += 2 * (geometry.order - 1)
     rule = simplex_rule(mesh.dim, quad_degree)
     vals, grads = space.basis.tabulate(rule.points)
-    J, detJ, Jinv = mesh.element_jacobians
-    v0 = mesh.points[mesh.elements[:, 0]]
-    qpts = v0[:, None, :] + np.einsum("eab,qb->eqa", J, rule.points)
+    if geometry is not None:
+        from ..mesh.curved import geometry_tables
+
+        _, detJ, Jinv, qpts = geometry_tables(geometry, rule.points)
+    else:
+        J, detJ, Jinv = mesh.element_jacobians
+        v0 = mesh.points[mesh.elements[:, 0]]
+        qpts = v0[:, None, :] + np.einsum("eab,qb->eqa", J, rule.points)
     return SpaceTables(
         qw=jnp.asarray(rule.weights, dtype),
         val=jnp.asarray(vals, dtype),
@@ -75,22 +87,30 @@ def make_tables(
 @jax.jit
 def mass_local(t: SpaceTables) -> jax.Array:
     """(ne, nb, nb): integral phi_i phi_j per element."""
-    m_ref = jnp.einsum("q,qi,qj->ij", t.qw, t.val, t.val)
-    return t.detj[:, None, None] * m_ref[None]
+    if t.detj.ndim == 1:  # affine
+        m_ref = jnp.einsum("q,qi,qj->ij", t.qw, t.val, t.val)
+        return t.detj[:, None, None] * m_ref[None]
+    return jnp.einsum("q,qi,qj,eq->eij", t.qw, t.val, t.val, t.detj)
 
 
 @jax.jit
 def stiffness_local(t: SpaceTables) -> jax.Array:
     """(ne, nb, nb): integral grad(phi_i) . grad(phi_j) per element."""
-    # physical gradient: (grad_x phi)_a = Jinv[b,a] d_b phi
-    g = jnp.einsum("eba,qib->eqia", t.jinv, t.grad)
-    return jnp.einsum("q,eqia,eqja,e->eij", t.qw, g, g, t.detj)
+    g = phys_grad(t)
+    if t.detj.ndim == 1:
+        return jnp.einsum("q,eqia,eqja,e->eij", t.qw, g, g, t.detj)
+    return jnp.einsum("q,eqia,eqja,eq->eij", t.qw, g, g, t.detj)
 
 
 @jax.jit
 def phys_grad(t: SpaceTables) -> jax.Array:
-    """(ne, nq, nb, d): physical basis gradients at quadrature points."""
-    return jnp.einsum("eba,qib->eqia", t.jinv, t.grad)
+    """(ne, nq, nb, d): physical basis gradients at quadrature points.
+
+    (grad_x phi)_a = Jinv[b,a] d_b phi; handles affine (ne,d,d) and
+    isoparametric (ne,nq,d,d) Jacobians."""
+    if t.jinv.ndim == 3:
+        return jnp.einsum("eba,qib->eqia", t.jinv, t.grad)
+    return jnp.einsum("eqba,qib->eqia", t.jinv, t.grad)
 
 
 @jax.jit
@@ -102,12 +122,16 @@ def divergence_local(tp: SpaceTables, tu: SpaceTables) -> jax.Array:
     built on the same mesh with the same quadrature rule.
     """
     gu = phys_grad(tu)
-    return jnp.einsum("q,qi,eqjc,e->eijc", tp.qw, tp.val, gu, tp.detj)
+    if tp.detj.ndim == 1:
+        return jnp.einsum("q,qi,eqjc,e->eijc", tp.qw, tp.val, gu, tp.detj)
+    return jnp.einsum("q,qi,eqjc,eq->eijc", tp.qw, tp.val, gu, tp.detj)
 
 
 def linear_form_local(t: SpaceTables, f_qvals: jax.Array) -> jax.Array:
     """(ne, nb): integral f phi_i with f given at physical quad points (ne, nq)."""
-    return jnp.einsum("q,eq,qi,e->ei", t.qw, f_qvals, t.val, t.detj)
+    if t.detj.ndim == 1:
+        return jnp.einsum("q,eq,qi,e->ei", t.qw, f_qvals, t.val, t.detj)
+    return jnp.einsum("q,eq,qi,eq->ei", t.qw, f_qvals, t.val, t.detj)
 
 
 # ---------------------------------------------------------------------------
