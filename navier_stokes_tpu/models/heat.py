@@ -14,8 +14,6 @@ reference's heat_errors.csv schema (heat.py:161-167).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 from math import pi
 
 import jax

@@ -16,7 +16,7 @@ Model-level rebuild of /root/reference/run.py:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import jax

@@ -32,7 +32,7 @@ from ..fem.hdiv import (
 )
 from ..fem.spaces import FunctionSpace
 from ..ops import assembly as asm
-from ..ops.facets import FacetGeometry, facet_geometry
+from ..ops.facets import facet_geometry
 from ..fem.quadrature import triangle_rule
 from .stokes import StokesSystem, default_volume_force
 

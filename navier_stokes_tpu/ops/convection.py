@@ -16,14 +16,11 @@ IfPos(u.n, ...) is well defined facet-wise; only tangential components jump.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..fem.hdiv import HDivSpace
-from ..fem.quadrature import gauss_legendre_01, triangle_rule
+from ..fem.quadrature import triangle_rule
 from ..ops.facets import facet_geometry
 
 

@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..linalg.pytree import taxpy, tdot, tscale, tsub, tzeros_like
+from ..linalg.pytree import taxpy, tdot, tsub, tzeros_like
 
 
 @partial(

@@ -13,8 +13,6 @@ Python-driven loop with C++ calls per operation (SURVEY.md section 3.2).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
