@@ -80,9 +80,9 @@ def _assemble_mcs_ns_local(mesh, V, facet_space, sigma_basis, W_space, nu):
     w_val, _ = qb.tabulate(vol.points)
 
     # physical sigma and its divergence (see stokes_mcs.py derivation)
-    sp = np.einsum("eai,qnab,ejb->eqnij", Jinv, s_val, J) / detJ[:, None, None, None, None]
+    sp = np.einsum("eai,qnab,ejb->eqnij", Jinv, s_val, J, optimize=True) / detJ[:, None, None, None, None]
     div_s_ref = np.einsum("qnabb->qna", s_grad)
-    v_p = np.einsum("ecA,qiA->eqic", J, v_val) / detJ[:, None, None, None]
+    v_p = np.einsum("ecA,qiA->eqic", J, v_val, optimize=True) / detJ[:, None, None, None]
 
     n_ret = nbv + nfac
     n_el = nbs + nbw
@@ -93,14 +93,14 @@ def _assemble_mcs_ns_local(mesh, V, facet_space, sigma_basis, W_space, nu):
     # -(1/(2 nu)) sigma:tau
     A_cc[:, :nbs, :nbs] += -(0.5 / nu) * np.einsum(
         "q,eqnij,eqmij,e->enm", w, sp, sp, detJ
-    )
+    , optimize=True)
     # vorticity multiplier: W skw(tau) + R skw(sigma); skw(m) = m10 - m01
     skw_s = sp[..., 1, 0] - sp[..., 0, 1]  # (ne, nq, nbs)
-    wr = np.einsum("q,qn,eqm,e->enm", w, w_val, skw_s, detJ)
+    wr = np.einsum("q,qn,eqm,e->enm", w, w_val, skw_s, detJ, optimize=True)
     A_cc[:, nbs:, :nbs] += wr
     A_cc[:, :nbs, nbs:] += wr.transpose(0, 2, 1)
     # div(sigma).v + div(tau).u  (ref-frame pairing / detJ)
-    dsv = np.einsum("q,qma,qia,e->eim", w, div_s_ref, v_val, 1.0 / detJ)
+    dsv = np.einsum("q,qma,qia,e->eim", w, div_s_ref, v_val, 1.0 / detJ, optimize=True)
     A_rc[:, :nbv, :nbs] += dsv
     # facet terms
     fg = facet_geometry(mesh, k + 3)
@@ -108,29 +108,29 @@ def _assemble_mcs_ns_local(mesh, V, facet_space, sigma_basis, W_space, nu):
         pts = fg.ref_points[le]
         tv, _ = hb.tabulate(pts)
         ts, _ = sb.tabulate(pts)
-        v_tp = np.einsum("ecA,qiA->eqic", J, tv) / detJ[:, None, None, None]
-        s_tp = np.einsum("eai,qnab,ejb->eqnij", Jinv, ts, J) / detJ[:, None, None, None, None]
+        v_tp = np.einsum("ecA,qiA->eqic", J, tv, optimize=True) / detJ[:, None, None, None]
+        s_tp = np.einsum("eai,qnab,ejb->eqnij", Jinv, ts, J, optimize=True) / detJ[:, None, None, None, None]
         nrm = fg.normal[:, le]
-        vn = np.einsum("eqic,ec->eqi", v_tp, nrm)
-        sn = np.einsum("eqnij,ej->eqni", s_tp, nrm)
-        snn = np.einsum("eqni,ei->eqn", sn, nrm)
+        vn = np.einsum("eqic,ec->eqi", v_tp, nrm, optimize=True)
+        sn = np.einsum("eqnij,ej->eqni", s_tp, nrm, optimize=True)
+        snn = np.einsum("eqni,ei->eqn", sn, nrm, optimize=True)
         ds = fg.elen[:, le]
         # -(sigma n.n)(v.n)
-        blk = np.einsum("q,eqm,eqi,e->eim", fg.w, snn, vn, ds)
+        blk = np.einsum("q,eqm,eqi,e->eim", fg.w, snn, vn, ds, optimize=True)
         A_rc[:, :nbv, :nbs] -= blk
         # -(sigma n).tang(uhat): facet basis = L_j(t_g) tau_g (tangential)
         tgl = fg.t_global[:, le]
         leg = np.stack([legendre_01(tgl, j) for j in range(nfd)], axis=2)
         fvals = leg[..., None] * fg.tau_global[:, le][:, None, None, :]
         sn_t = sn - snn[..., None] * nrm[:, None, None, :]
-        blk2 = np.einsum("q,eqmc,eqjc,e->ejm", fg.w, sn_t, fvals, ds)
+        blk2 = np.einsum("q,eqmc,eqjc,e->ejm", fg.w, sn_t, fvals, ds, optimize=True)
         A_rc[:, nbv + le * nfd: nbv + (le + 1) * nfd, :nbs] -= blk2
 
     # grad-div: 2 nu div(u) div(v)
     div_v_ref = np.einsum("qnaa->qn", v_grad)
     A_ret[:, :nbv, :nbv] += 2.0 * nu * np.einsum(
         "q,qn,qm,e->enm", w, div_v_ref, div_v_ref, 1.0 / detJ
-    )
+    , optimize=True)
 
     # fold signs: retained = [hdiv signs | +1 facet], eliminated = [sigma
     # parity signs | +1]
@@ -189,7 +189,7 @@ class NavierStokesMCS:
         self._Acc_inv = np.linalg.inv(A_cc)
         self.A_cond_np = A_ret - np.einsum(
             "eic,ecd,ejd->eij", A_rc, self._Acc_inv, A_rc
-        )
+        , optimize=True)
         self._A_rc = A_rc  # for stress reconstruction
 
         n = self.Xv.ndof
@@ -206,7 +206,7 @@ class NavierStokesMCS:
             v_p * self.V.element_signs[:, None, :, None],
             v_p * self.V.element_signs[:, None, :, None],
             mesh.element_jacobians[1],
-        )
+        optimize=True)
         n_ret = self.A_cond_np.shape[1]
         M_full = np.zeros((mesh.ne, n_ret, n_ret))
         M_full[:, :nbv, :nbv] = M_u
@@ -220,7 +220,7 @@ class NavierStokesMCS:
         # int div(u) q dx = sum_q w divhat q (Piola div and detJ cancel):
         # the same reference-frame block for every element, up to signs
         B_loc = np.zeros((mesh.ne, qb.n_basis, n_ret))
-        B_ref = np.einsum("q,qp,qi->pi", vol.weights, q_val, div_v_ref)
+        B_ref = np.einsum("q,qp,qi->pi", vol.weights, q_val, div_v_ref, optimize=True)
         B_loc[:, :, :nbv] = B_ref[None] * self.V.element_signs[:, None, :]
         self._B_loc = jnp.asarray(B_loc, dtype)
         self.eldofs_p = jnp.asarray(self.Q.element_dofs)
@@ -244,7 +244,7 @@ class NavierStokesMCS:
 
         def B_raw(u):
             ue = u[eldofs]
-            pe = jnp.einsum("epi,ei->ep", self._B_loc, ue)
+            pe = jnp.einsum("epi,ei->ep", self._B_loc, ue, optimize=True)
             return asm.scatter_add(pe, self.eldofs_p, self.Q.ndof)
 
         def B(u):
@@ -252,7 +252,7 @@ class NavierStokesMCS:
 
         def BT(p):
             pe = p[self.eldofs_p]
-            ue = jnp.einsum("epi,ep->ei", self._B_loc, pe)
+            ue = jnp.einsum("epi,ep->ei", self._B_loc, pe, optimize=True)
             return jnp.where(free, asm.scatter_add(ue, eldofs, n), 0.0)
 
         self.A, self.A_raw, self.mstar = A, A_raw, mstar
@@ -354,13 +354,13 @@ class NavierStokesMCS:
         J, detJ, _ = mesh.element_jacobians
         vol = triangle_rule(2 * hb.order + 2)
         v_val, _ = hb.tabulate(vol.points)
-        v_p = np.einsum("ecA,qiA->eqic", J, v_val) / detJ[:, None, None, None]
+        v_p = np.einsum("ecA,qiA->eqic", J, v_val, optimize=True) / detJ[:, None, None, None]
         v_p = v_p * self.V.element_signs[:, None, :, None]
         qpts = mesh.points[mesh.elements[:, 0]][:, None, :] + np.einsum(
             "eab,qb->eqa", J, vol.points
-        )
+        , optimize=True)
         fq = np.asarray(force(qpts.reshape(-1, 2))).reshape(mesh.ne, -1, 2)
-        fe_v = np.einsum("q,eqc,eqic,e->ei", vol.weights, fq, v_p, detJ)
+        fe_v = np.einsum("q,eqc,eqic,e->ei", vol.weights, fq, v_p, detJ, optimize=True)
         n_ret = self.A_cond_np.shape[1]
         fe = np.zeros((mesh.ne, n_ret))
         fe[:, : hb.n_basis] = fe_v
@@ -449,5 +449,5 @@ class NavierStokesMCS:
         (sigma, W) = -Acc^{-1} A_rc^T u_loc  (homogeneous local rhs)."""
         u = self.u if u is None else u
         ue = np.asarray(u)[self.Xv.element_dofs]
-        rhs = -np.einsum("eic,ei->ec", self._A_rc, ue)
-        return np.einsum("ecd,ed->ec", self._Acc_inv, rhs)
+        rhs = -np.einsum("eic,ei->ec", self._A_rc, ue, optimize=True)
+        return np.einsum("ecd,ed->ec", self._Acc_inv, rhs, optimize=True)

@@ -103,10 +103,10 @@ def interpolate_hybrid_boundary(V: HybridVelocitySpace, uin, names: str,
         Lj = legendre_01(t, j)
         if j < ne_d:
             # c = int (u . n_scaled) L_j dt  (Piola-invariant moment)
-            mom = np.einsum("q,bqc,bc,q->b", w, vals, nvec, Lj)
+            mom = np.einsum("q,bqc,bc,q->b", w, vals, nvec, Lj, optimize=True)
             u[fids * ne_d + j] = mom
         if j < nf_d:
-            mom = np.einsum("q,bqc,bc,q->b", w, vals, tau_unit, Lj)
+            mom = np.einsum("q,bqc,bc,q->b", w, vals, tau_unit, Lj, optimize=True)
             u[V.hdiv.ndof + fids * nf_d + j] = mom
     return u
 
@@ -136,11 +136,11 @@ def assemble_hdg_stokes(
     # --- volume term: int grad u : grad v (Piola gradients) --------------
     vhat, ghat = hb.tabulate(vol.points)  # (nq,nb,2), (nq,nb,2,2)
     # grad_phys[e,q,i,c,d] = (J ghat Jinv)[c,d]/detJ
-    gp = np.einsum("ecA,qiAB,eBd->eqicd", J, ghat, Jinv) / detJ[:, None, None, None, None]
+    gp = np.einsum("ecA,qiAB,eBd->eqicd", J, ghat, Jinv, optimize=True) / detJ[:, None, None, None, None]
     A = np.zeros((mesh.ne, nloc, nloc))
     A[:, :nbv, :nbv] = nu * np.einsum(
         "q,eqicd,eqjcd,e->eij", vol.weights, gp, gp, detJ
-    )
+    , optimize=True)
 
     # --- facet terms ------------------------------------------------------
     nq1 = len(fg.t)
@@ -148,13 +148,13 @@ def assemble_hdg_stokes(
         pts = fg.ref_points[le]  # (nq1, 2)
         tv, tg = hb.tabulate(pts)
         # physical traces: value (Piola), gradient
-        val_p = np.einsum("ecA,qiA->eqic", J, tv) / detJ[:, None, None, None]
-        grad_p = np.einsum("ecA,qiAB,eBd->eqicd", J, tg, Jinv) / detJ[:, None, None, None, None]
+        val_p = np.einsum("ecA,qiA->eqic", J, tv, optimize=True) / detJ[:, None, None, None]
+        grad_p = np.einsum("ecA,qiAB,eBd->eqicd", J, tg, Jinv, optimize=True) / detJ[:, None, None, None, None]
         n = fg.normal[:, le]  # (ne, 2)
         # gn[e,q,i,c] = (grad u_i n)_c
-        gn_v = np.einsum("eqicd,ed->eqic", grad_p, n)
+        gn_v = np.einsum("eqicd,ed->eqic", grad_p, n, optimize=True)
         # tang(trace): v - (v.n)n
-        vn = np.einsum("eqic,ec->eqi", val_p, n)
+        vn = np.einsum("eqic,ec->eqi", val_p, n, optimize=True)
         tang_v = val_p - vn[..., None] * n[:, None, None, :]
         # facet basis values: L_j(t_global) * tau_global (already tangential)
         tgl = fg.t_global[:, le]  # (ne, nq1)
@@ -177,9 +177,9 @@ def assemble_hdg_stokes(
         pen = alpha * k * k * fg.elen[:, le] / detJ
         wq = fg.w
         A += nu * (
-            np.einsum("q,eqic,eqjc,e->eij", wq, jump, gn, ds)
-            + np.einsum("q,eqic,eqjc,e->eij", wq, gn, jump, ds)
-            + np.einsum("q,eqic,eqjc,e,e->eij", wq, jump, jump, ds, pen)
+            np.einsum("q,eqic,eqjc,e->eij", wq, jump, gn, ds, optimize=True)
+            + np.einsum("q,eqic,eqjc,e->eij", wq, gn, jump, ds, optimize=True)
+            + np.einsum("q,eqic,eqjc,e,e->eij", wq, jump, jump, ds, pen, optimize=True)
         )
 
     # --- b-form: int div(u) q --------------------------------------------
@@ -189,7 +189,7 @@ def assemble_hdg_stokes(
     B = np.zeros((mesh.ne, tp.shape[1], nloc))
     B[:, :, :nbv] = np.einsum(
         "q,qp,eqi,e->epi", vol.weights, tp, div_p, detJ
-    )
+    , optimize=True)
 
     # fold orientation signs
     s = V.element_signs
@@ -199,13 +199,13 @@ def assemble_hdg_stokes(
     # volume-force local vectors: int f . v (Piola values)
     qpts_phys = mesh.points[mesh.elements[:, 0]][:, None, :] + np.einsum(
         "eab,qb->eqa", J, vol.points
-    )
+    , optimize=True)
 
     def force_local(force):
         fq = force(qpts_phys.reshape(-1, 2)).reshape(mesh.ne, -1, 2)
-        vv = np.einsum("ecA,qiA->eqic", J, vhat) / detJ[:, None, None, None]
+        vv = np.einsum("ecA,qiA->eqic", J, vhat, optimize=True) / detJ[:, None, None, None]
         fe = np.zeros((mesh.ne, nloc))
-        fe[:, :nbv] = np.einsum("q,eqc,eqic,e->ei", vol.weights, fq, vv, detJ)
+        fe[:, :nbv] = np.einsum("q,eqc,eqic,e->ei", vol.weights, fq, vv, detJ, optimize=True)
         return fe * s
 
     return A, B, force_local
@@ -252,15 +252,15 @@ def hybrid_h1_embedding(V: HybridVelocitySpace, dtype=jnp.float64,
         vals_ref, _ = hb.tabulate(q.points)  # (nq, nbv, 2)
         J, detJ, _ = mesh.element_jacobians
         # metric for the physical L2 norm of Piola-mapped fields
-        M_e = np.einsum("eca,ecb->eab", J, J) / detJ[:, None, None]
-        G = np.einsum("q,qia,eab,qjb->eij", q.weights, vals_ref, M_e, vals_ref)
+        M_e = np.einsum("eca,ecb->eab", J, J, optimize=True) / detJ[:, None, None]
+        G = np.einsum("q,qia,eab,qjb->eij", q.weights, vals_ref, M_e, vals_ref, optimize=True)
         # t_mat[e, i, (c,v)] = int uhat_i^T J^T e_c lambda_v
         lam = np.concatenate(
             [1.0 - q.points.sum(1, keepdims=True), q.points], axis=1
         )  # (nq, 3)
         t_mat = np.einsum(
             "q,qia,eca,qv->eicv", q.weights, vals_ref, J, lam
-        ).reshape(mesh.ne, nbv, 6)
+        , optimize=True).reshape(mesh.ne, nbv, 6)
         # S[e, edge-local-dof, (c,v)]: local edge coefficients from the
         # element's vertex values (local = sign * global edge formula)
         S = np.zeros((mesh.ne, n_edge_tot, 6))
@@ -286,7 +286,7 @@ def hybrid_h1_embedding(V: HybridVelocitySpace, dtype=jnp.float64,
                     )
         G_ii = G[:, n_edge_tot:, n_edge_tot:]
         G_ie = G[:, n_edge_tot:, :n_edge_tot]
-        rhs_int = t_mat[:, n_edge_tot:, :] - np.einsum("eij,ejv->eiv", G_ie, S)
+        rhs_int = t_mat[:, n_edge_tot:, :] - np.einsum("eij,ejv->eiv", G_ie, S, optimize=True)
         M_int = np.linalg.solve(G_ii, rhs_int)  # (ne, n_int, 6)
         M_int_j = jnp.asarray(M_int, dtype)
         elverts = jnp.asarray(mesh.elements, jnp.int32)
@@ -308,17 +308,17 @@ def hybrid_h1_embedding(V: HybridVelocitySpace, dtype=jnp.float64,
         for j in range(njmax):
             mom = (c0[j] * wa + c1[j] * wb)
             out = out.at[jnp.arange(mesh.nedge) * ne_d + j].set(
-                jnp.einsum("ec,ec->e", mom, nvec_j)
+                jnp.einsum("ec,ec->e", mom, nvec_j, optimize=True)
             )
         for j in range(njmax_f):
             mom = (c0[j] * wa + c1[j] * wb)
             out = out.at[
                 V.hdiv.ndof + jnp.arange(mesh.nedge) * nf_d + j
-            ].set(jnp.einsum("ec,ec->e", mom, tau_j))
+            ].set(jnp.einsum("ec,ec->e", mom, tau_j, optimize=True))
         if M_int_j is not None:
             wv = c2[:, elverts]  # (2, ne, 3)
             wv6 = jnp.concatenate([wv[0], wv[1]], axis=1)  # (ne, 6) c-major
-            ci = jnp.einsum("eiv,ev->ei", M_int_j, wv6)
+            ci = jnp.einsum("eiv,ev->ei", M_int_j, wv6, optimize=True)
             out = out.at[int_dofs].set(ci)
         return out
 
@@ -338,7 +338,7 @@ def hybrid_h1_embedding(V: HybridVelocitySpace, dtype=jnp.float64,
             out = out.at[:, edges[:, 1]].add(vb.T)
         if M_int_j is not None:
             xi = x[int_dofs]  # (ne, n_int)
-            gv = jnp.einsum("eiv,ei->ev", M_int_j, xi)  # (ne, 6)
+            gv = jnp.einsum("eiv,ei->ev", M_int_j, xi, optimize=True)  # (ne, 6)
             out = out.at[0, elverts].add(gv[:, :3])
             out = out.at[1, elverts].add(gv[:, 3:])
         return out.reshape(-1)
@@ -484,7 +484,7 @@ def build_hybrid_stokes_system(
 
     def B_raw(u):
         ue = u[eldofs_v]
-        pe = jnp.einsum("epi,ei->ep", B_loc, ue)
+        pe = jnp.einsum("epi,ei->ep", B_loc, ue, optimize=True)
         return asm.scatter_add(pe, eldofs_p, nQ)
 
     def B(u):
@@ -492,7 +492,7 @@ def build_hybrid_stokes_system(
 
     def BT(p):
         pe = p[eldofs_p]
-        ue = jnp.einsum("epi,ep->ei", B_loc, pe)
+        ue = jnp.einsum("epi,ep->ei", B_loc, pe, optimize=True)
         y = asm.scatter_add(ue, eldofs_v, nV)
         return jnp.where(free, y, 0.0)
 

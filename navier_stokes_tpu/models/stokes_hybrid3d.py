@@ -128,15 +128,15 @@ def assemble_hdg_stokes_3d(
 
     v_val, v_grad = hd.tabulate_elements(vol.points)  # per-element tables
     # Piola: value J vhat / detJ; gradient J Ghat Jinv / detJ
-    val_p = np.einsum("ecA,eqiA->eqic", J, v_val) / detJ[:, None, None, None]
+    val_p = np.einsum("ecA,eqiA->eqic", J, v_val, optimize=True) / detJ[:, None, None, None]
     grad_p = np.einsum(
         "ecA,eqiAB,eBd->eqicd", J, v_grad, Jinv
-    ) / detJ[:, None, None, None, None]
+    , optimize=True) / detJ[:, None, None, None, None]
 
     A = np.zeros((ne, nloc, nloc))
     A[:, :nbv, :nbv] = nu * np.einsum(
         "q,eqicd,eqjcd,e->eij", w, grad_p, grad_p, detJ
-    )
+    , optimize=True)
 
     fg = facet_geometry_3d(mesh, 2 * k + 2)
     fvals, _ = triangle_modal(fg.qp, V.facet.order)  # (nq2, nss)
@@ -158,13 +158,13 @@ def assemble_hdg_stokes_3d(
             vals_c, grads_c = hd.bases[cid].tabulate(p0)
             tv[sel] = vals_c[None]
             tg[sel] = grads_c[None]
-        v_tp = np.einsum("ecA,eqiA->eqic", J, tv) / detJ[:, None, None, None]
+        v_tp = np.einsum("ecA,eqiA->eqic", J, tv, optimize=True) / detJ[:, None, None, None]
         g_tp = np.einsum(
             "ecA,eqiAB,eBd->eqicd", J, tg, Jinv
-        ) / detJ[:, None, None, None, None]
+        , optimize=True) / detJ[:, None, None, None, None]
         n = fg.normal[:, lf]  # (ne, 3)
-        gn_v = np.einsum("eqicd,ed->eqic", g_tp, n)
-        vn = np.einsum("eqic,ec->eqi", v_tp, n)
+        gn_v = np.einsum("eqicd,ed->eqic", g_tp, n, optimize=True)
+        vn = np.einsum("eqic,ec->eqi", v_tp, n, optimize=True)
         tang_v = v_tp - vn[..., None] * n[:, None, None, :]
         # facet basis: phi_j * E_c, dof index = j * 2 + c
         fbasis = np.zeros((ne, nq2, nfd, 3))
@@ -181,26 +181,26 @@ def assemble_hdg_stokes_3d(
         # sliver-robust penalty alpha k^2 |F|/|T|: |F| = area/2, |T| = detJ/6
         pen = alpha * k * k * 3.0 * fg.area[:, lf] / detJ
         A += nu * (
-            np.einsum("q,eqic,eqjc,e->eij", fg.qw, jump, gn, ds)
-            + np.einsum("q,eqic,eqjc,e->eij", fg.qw, gn, jump, ds)
-            + np.einsum("q,eqic,eqjc,e,e->eij", fg.qw, jump, jump, ds, pen)
+            np.einsum("q,eqic,eqjc,e->eij", fg.qw, jump, gn, ds, optimize=True)
+            + np.einsum("q,eqic,eqjc,e->eij", fg.qw, gn, jump, ds, optimize=True)
+            + np.einsum("q,eqic,eqjc,e,e->eij", fg.qw, jump, jump, ds, pen, optimize=True)
         )
 
     # b-form: pressure x velocity
     qvals, _ = Q.basis.tabulate(vol.points)
     div_ref = np.einsum("eqicc->eqi", v_grad)
     B = np.zeros((ne, qvals.shape[1], nloc))
-    B[:, :, :nbv] = np.einsum("q,qp,eqi->epi", w, qvals, div_ref)
+    B[:, :, :nbv] = np.einsum("q,qp,eqi->epi", w, qvals, div_ref, optimize=True)
 
     # rhs builder
     qpts = mesh.points[mesh.elements[:, 0]][:, None, :] + np.einsum(
         "eab,qb->eqa", J, vol.points
-    )
+    , optimize=True)
 
     def force_local(force):
         fq = force(qpts.reshape(-1, 3)).reshape(ne, -1, 3)
         fe = np.zeros((ne, nloc))
-        fe[:, :nbv] = np.einsum("q,eqc,eqic,e->ei", w, fq, val_p, detJ)
+        fe[:, :nbv] = np.einsum("q,eqc,eqic,e->ei", w, fq, val_p, detJ, optimize=True)
         return fe
 
     return A, B, force_local, fg, fvals
@@ -234,7 +234,7 @@ def interpolate_hybrid_boundary_3d(
         for j in range(nfd_v):
             u[f * nfd_v + j] = np.einsum(
                 "q,qc,c,q->", rule.weights, uq, nsc, fvals[:, j]
-            )
+            , optimize=True)
         # facet frame coefficients via the 2x2 frame Gram
         G = np.array([[E1 @ E1, E1 @ E2], [E2 @ E1, E2 @ E2]])
         Ginv = np.linalg.inv(G)
@@ -243,13 +243,49 @@ def interpolate_hybrid_boundary_3d(
         )[None, :]
         for j in range(nss):
             m = np.array([
-                np.einsum("q,qc,c,q->", rule.weights, tang, E1, fvals[:, j]),
-                np.einsum("q,qc,c,q->", rule.weights, tang, E2, fvals[:, j]),
+                np.einsum("q,qc,c,q->", rule.weights, tang, E1, fvals[:, j], optimize=True),
+                np.einsum("q,qc,c,q->", rule.weights, tang, E2, fvals[:, j], optimize=True),
             ])
             c = Ginv @ m
             u[V.hdiv.ndof + f * nfd_f + 2 * j] = c[0]
             u[V.hdiv.ndof + f * nfd_f + 2 * j + 1] = c[1]
     return u
+
+
+def build_faceblock_preconditioner_3d(
+    V: HybridVelocitySpace3D, A_np: np.ndarray, dtype=jnp.float64
+):
+    """Disjoint per-face blocks (hdiv + facet dofs of the face) + per-cell
+    interior blocks; batched dense inverses."""
+    from ..precond.jacobi import block_jacobi, extract_blocks_from_local
+
+    mesh = V.mesh
+    nV = V.ndof
+    free = jnp.asarray(V.free_mask)
+    nfd_v, nfd_f = V.hdiv.n_face_dofs, V.facet.n_face
+    nc_d = V.hdiv.bases[0].n_cell
+    off_c = mesh.nface * nfd_v
+    fmask = V.free_mask
+    blocks = []
+    for f in range(mesh.nface):
+        blk = list(range(f * nfd_v, (f + 1) * nfd_v)) + list(
+            range(V.hdiv.ndof + f * nfd_f, V.hdiv.ndof + (f + 1) * nfd_f)
+        )
+        blocks.append(blk)
+    for e in range(mesh.ne):
+        blocks.append(list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d)))
+    blocks = [
+        np.asarray([d for d in blk if fmask[d]], np.int32) for blk in blocks
+    ]
+    blocks = [b for b in blocks if len(b)]
+    dofs, mats = extract_blocks_from_local(A_np, V.element_dofs, blocks, nV)
+    smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
+
+    def preA(u):
+        uf = jnp.where(free, u, 0.0)
+        return jnp.where(free, smooth(uf), u)
+
+    return preA
 
 
 def build_hybrid_stokes_system_3d(
@@ -281,7 +317,7 @@ def build_hybrid_stokes_system_3d(
 
     def B_raw(u):
         ue = u[eldofs_v]
-        pe = jnp.einsum("epi,ei->ep", B_loc, ue)
+        pe = jnp.einsum("epi,ei->ep", B_loc, ue, optimize=True)
         return asm.scatter_add(pe, eldofs_p, nQ)
 
     def B(u):
@@ -289,35 +325,11 @@ def build_hybrid_stokes_system_3d(
 
     def BT(p):
         pe = p[eldofs_p]
-        ue = jnp.einsum("epi,ep->ei", B_loc, pe)
+        ue = jnp.einsum("epi,ep->ei", B_loc, pe, optimize=True)
         return jnp.where(free, asm.scatter_add(ue, eldofs_v, nV), 0.0)
 
     if a_pre == "faceblock":
-        from ..precond.jacobi import block_jacobi, extract_blocks_from_local
-
-        nfd_v, nfd_f = V.hdiv.n_face_dofs, V.facet.n_face
-        nc_d = V.hdiv.bases[0].n_cell
-        off_c = mesh.nface * nfd_v
-        fmask = V.free_mask
-        blocks = []
-        for f in range(mesh.nface):
-            blk = list(range(f * nfd_v, (f + 1) * nfd_v)) + list(
-                range(V.hdiv.ndof + f * nfd_f, V.hdiv.ndof + (f + 1) * nfd_f)
-            )
-            blocks.append(blk)
-        for e in range(mesh.ne):
-            blocks.append(list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d)))
-        blocks = [
-            np.asarray([d for d in blk if fmask[d]], np.int32) for blk in blocks
-        ]
-        blocks = [b for b in blocks if len(b)]
-        dofs, mats = extract_blocks_from_local(A_np, V.element_dofs, blocks, nV)
-        smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
-
-        def preA(u):
-            uf = jnp.where(free, u, 0.0)
-            return jnp.where(free, smooth(uf), u)
-
+        preA = build_faceblock_preconditioner_3d(V, A_np, dtype)
     else:
         diag = asm.diagonal_of_local(A_loc, eldofs_v, nV)
         diag = jnp.where(free, jnp.abs(diag), 1.0)

@@ -80,9 +80,9 @@ def assemble_mcs_stokes(
     w = vol.weights
 
     # physical sigma: (1/detJ) J^{-T} shat J^T ; J^{-T}_{ia} = Jinv[a,i]
-    sp = np.einsum("eai,qnab,ejb->eqnij", Jinv, s_val, J) / detJ[:, None, None, None, None]
+    sp = np.einsum("eai,qnab,ejb->eqnij", Jinv, s_val, J, optimize=True) / detJ[:, None, None, None, None]
     # reference divergences
-    div_s_ref = np.einsum("qnabb->qna", s_grad[..., :, :])  # d_b shat_ab
+    div_s_ref = np.einsum("qnabb->qna", s_grad[..., :, :], optimize=True)  # d_b shat_ab
     div_v_ref = np.einsum("qnaa->qn", v_grad)
 
     A = np.zeros((ne, nloc, nloc))
@@ -91,13 +91,13 @@ def assemble_mcs_stokes(
     vl = slice(0, nbv)
 
     # int sigma : tau
-    A[:, sl, sl] += np.einsum("q,eqnij,eqmij,e->enm", w, sp, sp, detJ)
+    A[:, sl, sl] += np.einsum("q,eqnij,eqmij,e->enm", w, sp, sp, detJ, optimize=True)
     # int div(sigma).v + div(tau).u : pairing reduces to ref frame / detJ
-    dsv = np.einsum("q,qna,qma,e->enm", w, div_s_ref, v_val, 1.0 / detJ)
+    dsv = np.einsum("q,qna,qma,e->enm", w, div_s_ref, v_val, 1.0 / detJ, optimize=True)
     A[:, sl, vl] += dsv
     A[:, vl, sl] += dsv.transpose(0, 2, 1)
     # int div(u) q + div(v) p
-    duq = np.einsum("q,qn,qm,e->enm", w, q_val, div_v_ref, np.ones(ne))
+    duq = np.einsum("q,qn,qm,e->enm", w, q_val, div_v_ref, np.ones(ne), optimize=True)
     A[:, ql, vl] += duq
     A[:, vl, ql] += duq.transpose(0, 2, 1)
 
@@ -107,13 +107,13 @@ def assemble_mcs_stokes(
         pts = fg.ref_points[le]
         tv, _ = hb.tabulate(pts)
         ts, _ = sb.tabulate(pts)
-        v_p = np.einsum("ecA,qiA->eqic", J, tv) / detJ[:, None, None, None]
-        s_p = np.einsum("eai,qnab,ejb->eqnij", Jinv, ts, J) / detJ[:, None, None, None, None]
+        v_p = np.einsum("ecA,qiA->eqic", J, tv, optimize=True) / detJ[:, None, None, None]
+        s_p = np.einsum("eai,qnab,ejb->eqnij", Jinv, ts, J, optimize=True) / detJ[:, None, None, None, None]
         n = fg.normal[:, le]
-        vn = np.einsum("eqic,ec->eqi", v_p, n)
-        snn = np.einsum("eqnij,ei,ej->eqn", s_p, n, n)
+        vn = np.einsum("eqic,ec->eqi", v_p, n, optimize=True)
+        snn = np.einsum("eqnij,ei,ej->eqn", s_p, n, n, optimize=True)
         ds = fg.elen[:, le]
-        blk = np.einsum("q,eqn,eqm,e->enm", fg.w, snn, vn, ds)
+        blk = np.einsum("q,eqn,eqm,e->enm", fg.w, snn, vn, ds, optimize=True)
         A[:, sl, vl] -= blk
         A[:, vl, sl] -= blk.transpose(0, 2, 1)
 
@@ -134,11 +134,11 @@ def assemble_mcs_stokes(
     # rhs: int f . v (velocity block only)
     qpts = mesh.points[mesh.elements[:, 0]][:, None, :] + np.einsum(
         "eab,qb->eqa", J, vol.points
-    )
+    , optimize=True)
     fq = volume_force(qpts.reshape(-1, 2)).reshape(ne, -1, 2)
-    v_p_vol = np.einsum("ecA,qiA->eqic", J, v_val) / detJ[:, None, None, None]
+    v_p_vol = np.einsum("ecA,qiA->eqic", J, v_val, optimize=True) / detJ[:, None, None, None]
     fe = np.zeros((ne, nloc))
-    fe[:, vl] = np.einsum("q,eqc,eqic,e->ei", w, fq, v_p_vol, detJ)
+    fe[:, vl] = np.einsum("q,eqc,eqic,e->ei", w, fq, v_p_vol, detJ, optimize=True)
     fe = fe * signs
     ndofs = V.ndof + S.ndof + Q.ndof
     fvec = np.zeros(ndofs)
@@ -162,7 +162,7 @@ def assemble_mcs_stokes(
             Lj = legendre_01(t, j)
             u_bc[fids * hb.n_edge + j] = np.einsum(
                 "q,bqc,bc,q->b", wq, vals, nvec, Lj
-            )
+            , optimize=True)
 
     free = np.concatenate([V.free_mask, S.free_mask, Q.free_mask])
     return MCSSystem(
