@@ -14,6 +14,7 @@ import numpy as np
 
 from navier_stokes_tpu.mesh.generators import channel_with_cylinder_mesh_3d
 from navier_stokes_tpu.models.navier_stokes import NavierStokes
+from navier_stokes_tpu.models.navier_stokes_hdg3d import NavierStokesHDG3D
 
 
 def uin(p):
@@ -27,13 +28,21 @@ def uin(p):
 if __name__ == "__main__":
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     maxh = float(sys.argv[2]) if len(sys.argv) > 2 else 0.1
+    hdiv = "--hdiv" in sys.argv[1:]  # H(div)+HDG (heavier); default Taylor-Hood
     mesh = channel_with_cylinder_mesh_3d(maxh)
     print(f"mesh: {mesh.nv} vertices, {mesh.ne} tets")
-    ns = NavierStokes(
-        mesh, nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
-        uin=uin, timestep=2e-3, order=2,
-    )
-    print(f"ndofs: V={ns.V.ndof} Q={ns.Q.ndof}")
+    if hdiv:
+        ns = NavierStokesHDG3D(
+            mesh, nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
+            uin=uin, timestep=2e-3, order=2,
+        )
+        print(f"ndofs: V={ns.Xv.ndof} Q={ns.Q.ndof}")
+    else:
+        ns = NavierStokes(
+            mesh, nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
+            uin=uin, timestep=2e-3, order=2,
+        )
+        print(f"ndofs: V={ns.V.ndof} Q={ns.Q.ndof}")
     ns.SolveInitial(iterative=True)
     print(
         f"initial Stokes: {ns.stokes_bpcg_iterations} BPCG iterations, "
