@@ -48,6 +48,7 @@ class NavierStokesHDG3D:
         volumeforce=None,
         dtype=jnp.float64,
         alpha: float = 10.0,
+        preconditioner: str = "auxspace",
     ):
         assert mesh.dim == 3
         self.nu, self.timestep, self.uin = nu, timestep, uin
@@ -117,11 +118,19 @@ class NavierStokesHDG3D:
         self.A, self.A_raw, self.mstar = A, A_raw, mstar
         self.B, self.B_raw, self.BT = B, B_raw, BT
 
-        # preconditioners: face-block for the steady A (diagonal is too weak
-        # for the penalty-dominated HDG operator)
-        from .stokes_hybrid3d import build_faceblock_preconditioner_3d
+        # preconditioners for the steady A (diagonal is too weak for the
+        # penalty-dominated HDG operator): face blocks, optionally with the
+        # vector-P1 auxiliary-space coarse correction
+        if preconditioner == "auxspace":
+            from .auxspace3d import build_auxspace_preconditioner_3d
 
-        self.preA = build_faceblock_preconditioner_3d(V, A_np, dtype)
+            self.preA = build_auxspace_preconditioner_3d(
+                V, A_np, dirich, dtype, coarse_coefficient=nu
+            )
+        else:
+            from .stokes_hybrid3d import build_faceblock_preconditioner_3d
+
+            self.preA = build_faceblock_preconditioner_3d(V, A_np, dtype)
         diagM = asm.diagonal_of_local(M_loc + dt * A_loc, self.eldofs, n)
         diagM = jnp.where(free & (jnp.abs(diagM) > 1e-30), jnp.abs(diagM), 1.0)
         self.preMstar = lambda u: jnp.where(free, u / diagM, u)
