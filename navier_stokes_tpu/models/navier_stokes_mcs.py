@@ -156,7 +156,7 @@ class NavierStokesMCS:
         order: int = 2,
         volumeforce=None,
         dtype=jnp.float64,
-        preconditioner: str = "vertexstar",
+        preconditioner: str = "auxspace",
     ):
         if mesh.dim != 2:
             raise NotImplementedError("NavierStokesMCS is 2D this round")
