@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..linalg.dense import dense_solve
 from .orthonormalization import orthonormalize
 from .runge_kutta import RungeKuttaWeights, linear_implicit_runge_kutta_step
 
@@ -52,7 +53,7 @@ def krylov_exponential_step(
     D_small = B @ DB.T  # D_small[r, c] = <basis_r, D basis_c>
     M_small = B @ MB.T
 
-    evolution = -jnp.linalg.solve(M_small, D_small)
+    evolution = -dense_solve(M_small, D_small)
 
     y0 = jnp.zeros(m, T.dtype).at[0].set(norm0)
     y1 = linear_implicit_runge_kutta_step(weights, evolution, y0, time_step)

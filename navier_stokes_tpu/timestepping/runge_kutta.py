@@ -16,6 +16,8 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+from ..linalg.dense import dense_solve
+
 
 @dataclass(frozen=True)
 class RungeKuttaWeights:
@@ -76,5 +78,5 @@ def linear_implicit_runge_kutta_step(
     lhs = jnp.eye(s * m, dtype=M.dtype) - step_width * jnp.kron(a, M)
     My = M @ y
     rhs = jnp.tile(My, s)
-    k = jnp.linalg.solve(lhs, rhs).reshape(s, m)
+    k = dense_solve(lhs, rhs).reshape(s, m)
     return y + step_width * jnp.einsum("i,ij->j", b, k)

@@ -15,6 +15,7 @@ import numpy as np
 
 from navier_stokes_tpu.mesh import channel_with_cylinder_mesh
 from navier_stokes_tpu.models.navier_stokes import NavierStokes
+from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
 
 
 def uin(p):
@@ -52,9 +53,28 @@ if __name__ == "__main__":
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        vmag = np.hypot(
-            ns.velocity[0][: mesh.nv], ns.velocity[1][: mesh.nv]
-        )
+        if taylor_hood:
+            vmag = np.hypot(
+                ns.velocity[0][: mesh.nv], ns.velocity[1][: mesh.nv]
+            )
+        else:
+            # H(div) dofs: evaluate |u| at element centroids -> vertex avg
+            from navier_stokes_tpu.fem.quadrature import triangle_rule
+
+            q = triangle_rule(1)
+            vals_ref, _ = ns.V.basis.tabulate(q.points)
+            J, detJ, _ = mesh.element_jacobians
+            ue = ns.velocity[ns.V.element_dofs] * ns.V.element_signs
+            val_p = np.einsum(
+                "ecA,qiA->eqic", J, vals_ref
+            ) / detJ[:, None, None, None]
+            uc = np.einsum("eqic,ei->ec", val_p, ue)
+            vmag = np.zeros(mesh.nv)
+            cnt = np.zeros(mesh.nv)
+            np.add.at(vmag, mesh.elements.ravel(),
+                      np.repeat(np.hypot(uc[:, 0], uc[:, 1]), 3))
+            np.add.at(cnt, mesh.elements.ravel(), 1.0)
+            vmag /= np.maximum(cnt, 1)
         fig, ax = plt.subplots(figsize=(10, 2.5))
         t = ax.tripcolor(
             mesh.points[:, 0], mesh.points[:, 1], mesh.elements, vmag,
