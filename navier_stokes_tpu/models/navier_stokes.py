@@ -112,6 +112,7 @@ class NavierStokes:
         self.stokes_bpcg_iterations = None
         self.stokes_bpcg_time = None
         self._build_operators()
+        self._mass_chebyshev()  # eager: its Lanczos bound needs concrete values
 
     # -- reference-API properties ------------------------------------------
 
@@ -384,14 +385,27 @@ class NavierStokes:
             maxsteps=maxsteps,
         ).x
 
+    def _mass_chebyshev(self, degree: int = 16):
+        """Fixed-degree Chebyshev approximation of Mv^{-1} (linear, SPD)."""
+        if not hasattr(self, "_mass_cheb"):
+            from ..precond.chebyshev import chebyshev_preconditioner
+
+            self._mass_cheb = chebyshev_preconditioner(
+                self.Mv, self.preMv, self.u_bc.reshape(-1), degree=degree,
+                lower_fraction=0.02,
+            )
+        return self._mass_cheb
+
     def _project_velocity(self, u, tol: float = 1e-8, maxsteps: int = 500):
-        """(u - M^-1 B^T p, p) with (B M^-1 B^T) p = B u.
+        """(u - M~^-1 B^T p, p) with (B M~^-1 B^T) p = B u.
 
-        The divergence-free L2 projection of the reference's Project
-        (:440-444), as a Schur-complement CG with inner mass solves."""
-
-        def Minv(r):
-            return cg(self.Mv, r, pre=self.preMv, tol=1e-10, maxsteps=400).x
+        The divergence-free projection of the reference's Project (:440-444)
+        as a Schur-complement CG.  The inner mass inverse is a FIXED-degree
+        Chebyshev polynomial (a linear fori_loop): nested CG
+        (while-inside-while) faults this TPU, and the projection is exactly
+        divergence-free for ANY SPD inner operator — the outer CG drives
+        B u_new -> 0 regardless."""
+        Minv = self._mass_chebyshev()
 
         def S(p):
             return self.B(Minv(self.BT(p)))

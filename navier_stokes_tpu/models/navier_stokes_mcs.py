@@ -321,6 +321,7 @@ class NavierStokesMCS:
         self.p = jnp.zeros(self.Q.ndof, dtype)
         self.stokes_bpcg_iterations = None
         self.stokes_bpcg_time = None
+        self._mass_chebyshev()  # eager: its Lanczos bound needs concrete values
 
     # ------------------------------------------------------------------
 
@@ -408,9 +409,21 @@ class NavierStokesMCS:
         return cg(self.mstar, rhs, pre=self.preMstar, tol=precision,
                   maxsteps=maxsteps).x
 
+    def _mass_chebyshev(self, degree: int = 16):
+        """Fixed-degree Chebyshev approximation of Mv^{-1}: linear fori_loop
+        (nested while_loops fault this TPU); the projection stays exactly
+        divergence-free for any SPD inner operator."""
+        if not hasattr(self, "_mass_cheb"):
+            from ..precond.chebyshev import chebyshev_preconditioner
+
+            self._mass_cheb = chebyshev_preconditioner(
+                self._Mv, self._preMv, self.u_bc, degree=degree,
+                lower_fraction=0.02,
+            )
+        return self._mass_cheb
+
     def _project_velocity(self, u, tol: float = 1e-9, maxsteps: int = 2000):
-        def Minv(r):
-            return cg(self._Mv, r, pre=self._preMv, tol=1e-10, maxsteps=400).x
+        Minv = self._mass_chebyshev()
 
         def S(p):
             return self.B(Minv(self.BT(p)))
