@@ -122,6 +122,14 @@ def main():
     vs_baseline = 1.0
     if main_dev.platform != "cpu":
         try:
+            # the persistent cache stores CPU AOT results with machine
+            # features of the (remote) compile host; reloading them on this
+            # host degrades the CPU baseline (and warns of SIGILL) — compile
+            # the baseline fresh
+            try:
+                jax.config.update("jax_compilation_cache_dir", None)
+            except Exception:
+                pass
             cpu = jax.devices("cpu")[0]
             _, t_cpu = measure(cpu, mesh)
             vs_baseline = t_cpu / t_main
