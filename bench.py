@@ -27,9 +27,6 @@ try:
 except Exception:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# TPU f32 matmuls default to bf16 multiplication; the Krylov machinery needs
-# true f32 accumulation (Lanczos orthogonality, operator consistency)
-jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compilation cache: cold TPU compiles go through a slow remote
 # compile service here (~minutes); cache across bench invocations
 try:
@@ -68,6 +65,13 @@ def build(mesh, dtype, preconditioner):
 def measure(device, mesh):
     from navier_stokes_tpu.solvers import mixed_precision_saddle_solve
 
+    # TPU f32 matmuls default to bf16 multiplication: the Krylov machinery
+    # needs true f32 there.  On CPU 'highest' forces slow emulated paths for
+    # f32 (3x slower baseline), so scope the flag per device.
+    jax.config.update(
+        "jax_default_matmul_precision",
+        "highest" if device.platform == "tpu" else None,
+    )
     with jax.default_device(device):
         m64 = build(mesh, jnp.float64, "jacobi")  # only A/B/BT used in f64
         m32 = build(mesh, jnp.float32, "twolevel")
