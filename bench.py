@@ -83,15 +83,19 @@ def measure(device, mesh):
         ).reshape(-1)
         g_mod = -m64.B_raw(m64.u_bc.reshape(-1))
 
-        # Bramble-Pasciak scaling once, eagerly, at setup: the Lanczos
-        # estimate is geometry-dependent, not rhs-dependent, and its
-        # HIGHEST-precision matmuls are costly inside the per-solve jit
-        from navier_stokes_tpu.solvers.bpcg import bp_scale_factor
+        # Bramble-Pasciak scaling: on CPU compute it once eagerly at setup
+        # (the in-jit Lanczos' HIGHEST-precision matmuls tripled the warm
+        # cost there); on TPU keep the in-jit estimate (measured correct)
+        if device.platform == "cpu":
+            from navier_stokes_tpu.solvers.bpcg import bp_scale_factor
 
-        k, _ = bp_scale_factor(
-            ops32["A"], ops32["preA"], f_mod.astype(jnp.float32)
-        )
-        k = float(k)
+            k, _ = bp_scale_factor(
+                ops32["A"], ops32["preA"], f_mod.astype(jnp.float32)
+            )
+            k = float(k)
+            log(f"cpu eager scale k = {k:.4f}")
+        else:
+            k = None
 
         @jax.jit
         def solve():
