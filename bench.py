@@ -83,25 +83,14 @@ def measure(device, mesh):
         ).reshape(-1)
         g_mod = -m64.B_raw(m64.u_bc.reshape(-1))
 
-        # Bramble-Pasciak scaling: on CPU compute it once eagerly at setup
-        # (the in-jit Lanczos' HIGHEST-precision matmuls tripled the warm
-        # cost there); on TPU keep the in-jit estimate (measured correct)
-        if device.platform == "cpu":
-            from navier_stokes_tpu.solvers.bpcg import bp_scale_factor
-
-            k, _ = bp_scale_factor(
-                ops32["A"], ops32["preA"], f_mod.astype(jnp.float32)
-            )
-            k = float(k)
-            log(f"cpu eager scale k = {k:.4f}")
-        else:
-            k = None
-
+        # identical jitted program on both devices (in-jit Lanczos scaling):
+        # a same-code comparison.  (A CPU-tuned variant without the
+        # HIGHEST-precision Lanczos reaches ~6.5s; see NOTES_r1.md.)
         @jax.jit
         def solve():
             return mixed_precision_saddle_solve(
                 ops64, ops32, f_mod, g_mod, tol=TOL, inner_tol=2e-6,
-                inner_maxsteps=1500, scale_k=k,
+                inner_maxsteps=1500,
             )
 
         x, r, steps, inner = solve()  # compile + warmup
