@@ -82,3 +82,37 @@ def mixed_precision_saddle_solve(
     init = (x0, rel(r0, r1), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     x, r, steps, inner_total = jax.lax.while_loop(cond, body, init)
     return x, r, steps, inner_total
+
+
+def solve_initial_refined(
+    model64,
+    model32,
+    tol: float = 1e-8,
+    inner_tol: float = 1e-4,
+    inner_maxsteps: int = 2000,
+    max_refine: int = 8,
+):
+    """Mixed-precision SolveInitial for a NavierStokes model pair.
+
+    ``model64`` / ``model32`` are the same model built in float64/float32
+    (flat-vector interface: NavierStokesMCS / NavierStokesHDG3D).  The
+    f32 Bramble-Pasciak floor for the condensed MCS operator is ~1e-5, so
+    ``inner_tol`` defaults to 1e-4 (~4 digits per refinement pass).
+    Updates model64's (u, p) state and returns (rel_residual, passes,
+    total_inner_iterations).
+    """
+    m64, m32 = model64, model32
+    ops64 = dict(A=m64.A, B=m64.B, BT=m64.BT)
+    ops32 = dict(A=m32.A, B=m32.B, BT=m32.BT, preA=m32.preA, preM=m32.preM)
+    f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
+    g_mod = -m64.B_raw(m64.u_bc)
+    x, r, steps, inner = jax.jit(
+        lambda: mixed_precision_saddle_solve(
+            ops64, ops32, f_mod, g_mod, tol=tol, inner_tol=inner_tol,
+            inner_maxsteps=inner_maxsteps, max_refine=max_refine,
+        )
+    )()
+    m64.u = m64.u_bc + x[0]
+    m64.p = x[1]
+    m64.stokes_bpcg_iterations = int(inner)
+    return float(r), int(steps), int(inner)

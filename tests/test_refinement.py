@@ -71,3 +71,21 @@ def test_refinement_matches_f64_stokes_solve():
     m64.SolveInitial(iterative=True, tol=1e-10, maxsteps=20000)
     du = m64.u_bc.reshape(-1) + x[0] - m64.u
     assert float(jnp.abs(du).max()) < 1e-6
+
+
+def test_refined_mcs_solve_initial():
+    """Mixed-precision SolveInitial for the MCS flagship: f32 BPCG floor is
+    ~1e-5, refinement reaches 1e-8 and matches the pure-f64 solve."""
+    from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
+    from navier_stokes_tpu.solvers import solve_initial_refined
+
+    mesh = channel_with_cylinder_mesh(0.15)
+    kw = dict(nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
+              uin=uin, timestep=1e-3, order=2)
+    m64 = NavierStokesMCS(mesh, dtype=jnp.float64, **kw)
+    m32 = NavierStokesMCS(mesh, dtype=jnp.float32, **kw)
+    r, steps, inner = solve_initial_refined(m64, m32, tol=1e-8)
+    assert r <= 1e-8
+    m64b = NavierStokesMCS(mesh, dtype=jnp.float64, **kw)
+    m64b.SolveInitial(iterative=True, tol=1e-10)
+    assert float(jnp.abs(m64.u - m64b.u).max()) < 1e-6
