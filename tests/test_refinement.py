@@ -79,6 +79,11 @@ def test_refined_mcs_solve_initial():
     from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
     from navier_stokes_tpu.solvers import solve_initial_refined
 
+    def uin(p):
+        out = np.zeros((len(p), 2))
+        out[:, 0] = 1.5 * 4 * p[:, 1] * (0.41 - p[:, 1]) / 0.41**2
+        return out
+
     mesh = channel_with_cylinder_mesh(0.15)
     kw = dict(nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
               uin=uin, timestep=1e-3, order=2)
