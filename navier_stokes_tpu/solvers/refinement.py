@@ -59,28 +59,40 @@ def mixed_precision_saddle_solve(
         return jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1)) / rhs_norm
 
     def body(carry):
-        x, _, steps, inner_total = carry
+        x, r_old, steps, inner_total, _ = carry
         r0, r1 = residual(x)
         res = bramble_pasciak_cg_opt(
             ops32["A"], ops32["B"], ops32["BT"], ops32["preA"], ops32["preM"],
             r0.astype(jnp.float32), r1.astype(jnp.float32),
             tol=inner_tol, maxsteps=inner_maxsteps, scale_k=scale_k,
         )
-        x = (
+        x_new = (
             x[0] + res.x[0].astype(jnp.float64),
             x[1] + res.x[1].astype(jnp.float64),
         )
-        r0, r1 = residual(x)
-        return x, rel(r0, r1), steps + 1, inner_total + res.iterations
+        r0n, r1n = residual(x_new)
+        r_new = rel(r0n, r1n)
+        # monotonicity guard: a failed/diverged inner pass (e.g. the f32
+        # floor on badly conditioned meshes) must not poison the iterate —
+        # reject non-improving updates and stop
+        improved = r_new < r_old
+        x = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(improved, new, old), x_new, x
+        )
+        r = jnp.where(improved, r_new, r_old)
+        return x, r, steps + 1, inner_total + res.iterations, ~improved
 
     def cond(carry):
-        _, r, steps, _ = carry
-        return (r > tol) & (steps < max_refine)
+        _, r, steps, _, stalled = carry
+        return (r > tol) & (steps < max_refine) & jnp.logical_not(stalled)
 
     x0 = (jnp.zeros_like(f), jnp.zeros_like(g))
     r0, r1 = residual(x0)
-    init = (x0, rel(r0, r1), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    x, r, steps, inner_total = jax.lax.while_loop(cond, body, init)
+    init = (
+        x0, rel(r0, r1), jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+    )
+    x, r, steps, inner_total, _ = jax.lax.while_loop(cond, body, init)
     return x, r, steps, inner_total
 
 

@@ -84,7 +84,7 @@ def test_refined_mcs_solve_initial():
         out[:, 0] = 1.5 * 4 * p[:, 1] * (0.41 - p[:, 1]) / 0.41**2
         return out
 
-    mesh = channel_with_cylinder_mesh(0.15)
+    mesh = channel_with_cylinder_mesh(0.1)
     kw = dict(nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
               uin=uin, timestep=1e-3, order=2)
     m64 = NavierStokesMCS(mesh, dtype=jnp.float64, **kw)
