@@ -151,3 +151,49 @@ def test_hdg3d_bpcg_solves():
     )
     assert errs[-1] < 1e-7
     assert np.all(np.isfinite(np.asarray(u)))
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_rt_tet_delta_and_dim(order):
+    from navier_stokes_tpu.fem.hdiv3d import rt_tet
+
+    combo = ((0, 1, 2), (1, 0, 2), (2, 1, 0), (0, 2, 1))
+    b = rt_tet(order, combo)
+    k = order
+    assert b.n_basis == (k + 1) * (k + 2) * (k + 3) // 2 + (k + 1) * (k + 2) // 2
+    q2 = triangle_rule(2 * k + 4)
+    fvals, _ = triangle_modal(q2.points, k)
+    D = np.zeros((b.n_basis, 4 * b.n_face))
+    for lf in range(4):
+        origin, e1, e2, n = face_frame(combo[lf], lf)
+        pts = (origin[None] + q2.points[:, :1] * e1[None]
+               + q2.points[:, 1:2] * e2[None])
+        vals, _ = b.tabulate(pts)
+        vn = np.einsum("qnc,c->qn", vals, n)
+        for j in range(b.n_face):
+            D[:, lf * b.n_face + j] = np.einsum(
+                "q,q,qn->n", q2.weights, fvals[:, j], vn
+            )
+    expect = np.zeros_like(D)
+    expect[: 4 * b.n_face] = np.eye(4 * b.n_face)
+    assert np.abs(D - expect).max() < 1e-7
+
+
+def test_rt0_3d_space():
+    from navier_stokes_tpu.fem.hdiv3d import HDiv3D, rt_tet
+
+    mesh = unit_cube_mesh(0.5)
+    V = HDiv3D(mesh, 0, RT=True)
+    assert V.ndof == mesh.nface  # the classic one-dof-per-face RT0
+    combo = tuple(V.bases[0].combo)
+    b = rt_tet(0, combo)
+    q3 = tetrahedron_rule(4)
+    vals, _ = b.tabulate(q3.points)
+    G = np.einsum("q,qic,qjc->ij", q3.weights, vals, vals)
+    f = np.stack(
+        [1 + 2 * q3.points[:, 0], 3 + 2 * q3.points[:, 1],
+         -1 + 2 * q3.points[:, 2]], axis=1,
+    )
+    c = np.linalg.solve(G, np.einsum("q,qic,qc->i", q3.weights, vals, f))
+    recon = np.einsum("qic,i->qc", vals, c)
+    assert np.abs(recon - f).max() < 1e-8
