@@ -44,18 +44,19 @@ def data_file():
 
 
 mesh_sizes = [0.1]  # , 0.05, 0.025, 0.01]
-# the three solve families of run.py:266-288; the reference's active config
-# is "HDG BDM 2"
+# the three solve families with the reference's ACTIVE configuration
+# (run.py:265-296: every mixed entry commented out, "HDG BDM 2" active,
+# MINRES commented out); uncomment entries to widen the sweep
 methods = {
     "mixed": {
         "solve": st.solve,
         "discretizations": {
-            "P1nc, P0": P1_nonconforming_velocity_constant_pressure(),
-            "mini": mini(),
-            "P2, P0": P2_velocity_constant_pressure(),
-            "P2+, P1": P2_velocity_with_cubic_bubbles_linear_pressure(),
-            "taylor hood 2": taylor_hood(2),
-            "taylor hood 3": taylor_hood(3),
+            # "P1nc, P0": P1_nonconforming_velocity_constant_pressure(),
+            # "mini": mini(),
+            # "P2, P0": P2_velocity_constant_pressure(),
+            # "P2+, P1": P2_velocity_with_cubic_bubbles_linear_pressure(),
+            # "taylor hood 2": taylor_hood(2),
+            # "taylor hood 3": taylor_hood(3),
         },
     },
     "hybrid_dg": {
@@ -68,7 +69,7 @@ methods = {
     "mcs": {
         "solve": lambda mesh, disc, solver: solve_hcurldiv(mesh, disc, solver),
         "discretizations": {
-            "MCS RT 2": hcurldiv(2),
+            # "MCS RT 2": hcurldiv(2),
         },
     },
 }
@@ -76,9 +77,9 @@ solver_factories = {
     "bramble pasciak cg": lambda system: st.solve_with_bramble_pasciak_cg(
         system, tolerance=1e-7, max_steps=10000
     ),
-    "minres": lambda system: st.solve_with_min_res(
-        system, tolerance=1e-7, max_steps=10000
-    ),
+    # "minres": lambda system: st.solve_with_min_res(
+    #     system, tolerance=1e-7, max_steps=10000
+    # ),
 }
 
 if __name__ == "__main__":
