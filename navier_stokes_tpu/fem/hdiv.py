@@ -199,6 +199,46 @@ def rt_triangle(order: int) -> VectorElementBasis:
     )
 
 
+def _hodivfree_reduce(b: VectorElementBasis) -> VectorElementBasis:
+    """Reduce an H(div) element basis so div(V) = P0 per element (NGSolve's
+    HDiv(hodivfree=True), /root/reference/discretizations.py:59-78).
+
+    Edge functions get an interior correction cancelling the zero-mean part
+    of their divergence (leaving a constant divergence); interior dofs are
+    restricted to the exactly divergence-free subspace.  Edge moments are
+    untouched (interior functions have zero normal trace), so the delta
+    property and inter-element continuity are preserved.  Paired with P0
+    pressure this yields pointwise divergence-free discrete velocities.
+    """
+    from .quadrature import triangle_rule
+
+    kd = b.modal_order - 1  # div of [P_m]^2 lives in P_{m-1}
+    q = triangle_rule(2 * b.modal_order)
+    _, grads = b.tabulate(q.points)
+    div = grads[:, :, 0, 0] + grads[:, :, 1, 1]  # (nq, nb)
+    phi, _ = triangle_modal(q.points, kd)  # orthonormal, mode 0 = constant
+    D = np.einsum("q,qn,qm->nm", q.weights, div, phi, optimize=True)
+    ne_tot = 3 * b.n_edge
+    D_edge, D_int = D[:ne_tot], D[ne_tot:]
+    # interior divergences have zero mean (zero normal trace), so only the
+    # zero-mean modes (columns 1:) matter for the corrections
+    Dz_int, Dz_edge = D_int[:, 1:], D_edge[:, 1:]
+    alpha, *_ = np.linalg.lstsq(Dz_int.T, Dz_edge.T, rcond=None)
+    fit = np.abs(Dz_int.T @ alpha - Dz_edge.T).max()
+    assert fit < 1e-9, fit  # interior divs must span zero-mean P_{m-1}
+    coeffs_edge = b.coeffs[:ne_tot] - alpha.T @ b.coeffs[ne_tot:]
+    # divergence-free interior subspace: nullspace of x -> D_int^T x
+    _, s, vt = np.linalg.svd(D_int.T)
+    rank = int(np.linalg.matrix_rank(D_int.T, tol=1e-10))
+    coeffs_int = vt[rank:] @ b.coeffs[ne_tot:]
+    coeffs = np.concatenate([coeffs_edge, coeffs_int], axis=0)
+    return VectorElementBasis(
+        order=b.order, n_basis=coeffs.shape[0], n_edge=b.n_edge,
+        n_cell=coeffs_int.shape[0], coeffs=coeffs,
+        modal_order=b.modal_order, name=b.name + "-hodivfree",
+    )
+
+
 @dataclass
 class HDivSpace:
     """Global H(div) space: edge dofs (shared, sign-oriented) + cell dofs."""
@@ -229,11 +269,14 @@ class HDivSpace:
         return mask
 
 
-def HDiv(mesh: Mesh, order: int, dirichlet: str = "", RT: bool = False) -> HDivSpace:
+def HDiv(mesh: Mesh, order: int, dirichlet: str = "", RT: bool = False,
+         hodivfree: bool = False) -> HDivSpace:
     """NGSolve-HDiv equivalent (discretizations.py:59-78 usage)."""
     if mesh.dim != 2:
         raise NotImplementedError("H(div) elements currently 2D")
     b = rt_triangle(order) if RT else bdm_triangle(order)
+    if hodivfree:
+        b = _hodivfree_reduce(b)
     ne_d, nc_d = b.n_edge, b.n_cell
     off_c = mesh.nedge * ne_d
     ndof = off_c + mesh.ne * nc_d

@@ -14,9 +14,9 @@ Implemented inf-sup-stable pairs (the H1/L2 families of the catalog):
   P2_velocity_with_cubic_bubbles_linear_pressure  (H1_2+bubble)^dim x L2_1
   mini                                  (H1_1+bubble)^dim x H1_1
 
-The H(div)/HDG families (bdm_hybrid, rt_hybrid, hcurldiv) are the planned
-next discretization wave; their factories raise with a clear message until
-the H(div) element machinery lands.
+The H(div)/HDG families (bdm_hybrid, rt_hybrid with optional hodivfree
+reduction, hcurldiv) build on fem/hdiv.py / models/stokes_hybrid.py /
+models/stokes_mcs.py.
 """
 
 from __future__ import annotations
@@ -89,7 +89,8 @@ def bdm_hybrid(order: int, penalty: float, hodivfree: bool = False):
         from ..fem.hdiv import HDiv, VectorFacet
         from .stokes_hybrid import HybridVelocitySpace
 
-        V = HDiv(mesh, order, dirichlet=velocity_dirichlet, RT=False)
+        V = HDiv(mesh, order, dirichlet=velocity_dirichlet, RT=False,
+                 hodivfree=hodivfree)
         Vhat = VectorFacet(mesh, order, dirichlet=velocity_dirichlet)
         Q = L2(mesh, 0 if hodivfree else order - 1)
         return HybridVelocitySpace(V, Vhat), Q
@@ -104,7 +105,8 @@ def rt_hybrid(order: int, penalty: float, hodivfree: bool = False):
         from ..fem.hdiv import HDiv, VectorFacet
         from .stokes_hybrid import HybridVelocitySpace
 
-        V = HDiv(mesh, order, dirichlet=velocity_dirichlet, RT=True)
+        V = HDiv(mesh, order, dirichlet=velocity_dirichlet, RT=True,
+                 hodivfree=hodivfree)
         Vhat = VectorFacet(mesh, order, dirichlet=velocity_dirichlet)
         Q = L2(mesh, 0 if hodivfree else order - 1)
         return HybridVelocitySpace(V, Vhat), Q

@@ -192,3 +192,69 @@ def test_auxspace_beats_plain_blocks():
         )
         iters[pre] = len(errs) - 1
     assert iters["auxspace"] < iters["vertexstar"]
+
+
+@pytest.mark.parametrize("make,order", [("bdm", 2), ("rt", 2)])
+def test_hodivfree_element_reduction(make, order):
+    """hodivfree (reference discretizations.py:59-78): edge functions keep
+    constant divergence, interior dofs restrict to the div-free subspace,
+    the edge-moment delta property survives."""
+    from navier_stokes_tpu.fem.hdiv import _hodivfree_reduce
+
+    b0 = bdm_triangle(order) if make == "bdm" else rt_triangle(order)
+    b = _hodivfree_reduce(b0)
+    assert b.n_edge == b0.n_edge and b.n_cell < b0.n_cell
+    q = triangle_rule(2 * b.modal_order)
+    _, grads = b.tabulate(q.points)
+    div = grads[:, :, 0, 0] + grads[:, :, 1, 1]
+    ne_tot = 3 * b.n_edge
+    assert np.abs(div[:, :ne_tot] - div[:, :ne_tot].mean(0)).max() < 1e-12
+    assert np.abs(div[:, ne_tot:]).max() < 1e-12
+    t, w = gauss_legendre_01(order + 3)
+    D = np.zeros((b.n_basis, ne_tot))
+    for e in range(3):
+        v, _ = b.tabulate(edge_points(e, t))
+        vn = v @ _EDGE_N_SCALED[e]
+        for j in range(b.n_edge):
+            D[:, e * b.n_edge + j] = np.einsum(
+                "q,q,qn->n", w, legendre_01(t, j), vn
+            )
+    expect = np.vstack([np.eye(ne_tot), np.zeros((b.n_cell, ne_tot))])
+    assert np.abs(D - expect).max() < 1e-12
+
+
+def test_hodivfree_hdg_divergence_free_and_pressure_robust():
+    """bdm_hybrid(hodivfree=True) + P0 pressure: the discrete velocity is
+    pointwise divergence-free (up to solver tolerance) and — the method
+    being pressure-robust — still reproduces Poiseuille exactly even though
+    the linear exact pressure is NOT in the P0 pressure space."""
+    mesh = rectangle_mesh(0.15, length=1.0, height=0.41)
+    disc, _ = bdm_hybrid(2, 10, hodivfree=True)
+
+    def zero_force(p):
+        return np.zeros((len(p), 2))
+
+    system = build_hybrid_stokes_system(
+        mesh, disc, velocity_dirichlet="wall|inlet",
+        uin=st.default_inlet_profile(), volume_force=zero_force,
+    )
+    assert system.Q.ndof == mesh.ne  # L2(order=0)
+    u, p, errs, tm, nd = st.solve_with_bramble_pasciak_cg(
+        system, tolerance=1e-11, max_steps=8000
+    )
+    assert errs[-1] < 1e-10
+    V = system.V
+    hb = V.hdiv.basis
+    uq, qpts = _eval_velocity(mesh, V, u)
+    exact_x = 1.5 * 4 * qpts[..., 1] * (0.41 - qpts[..., 1]) / 0.41**2
+    assert np.abs(uq[..., 0] - exact_x).max() < 1e-6
+    assert np.abs(uq[..., 1]).max() < 1e-6
+    q = triangle_rule(4)
+    _, grads_ref = hb.tabulate(q.points)
+    _, detJ, _ = mesh.element_jacobians
+    ue = (np.asarray(u)[V.element_dofs[:, : hb.n_basis]]
+          * V.element_signs[:, : hb.n_basis])
+    divhat = grads_ref[:, :, 0, 0] + grads_ref[:, :, 1, 1]
+    divq = np.einsum("qi,ei->eq", divhat, ue, optimize=True) / detJ[:, None]
+    # bounded by solver tolerance amplified by 1/detJ, not by discretization
+    assert np.abs(divq).max() < 5e-6
