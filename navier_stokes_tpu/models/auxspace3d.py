@@ -36,13 +36,17 @@ def hybrid_h1_embedding_3d(V, dtype=jnp.float64):
     nv = mesh.nv
     nV = V.ndof
 
-    # c_{j,v} = int_T phi_j lambda_v over the unit triangle
+    # c_{j,v} = int_T phi_j lambda_v over the unit triangle.  Tabulated
+    # separately per order: triangle_modal's mode ordering means the first
+    # columns of a higher-order tabulation are NOT the lower-order modes.
     rule2 = triangle_rule(2 * max(k, V.facet.order) + 2)
-    phi, _ = triangle_modal(rule2.points, max(k, V.facet.order))
+    phi_v, _ = triangle_modal(rule2.points, k)
+    phi_f, _ = triangle_modal(rule2.points, V.facet.order)
     lam2 = np.concatenate(
         [1 - rule2.points.sum(1, keepdims=True), rule2.points], axis=1
     )
-    cjv = np.einsum("q,qj,qv->jv", rule2.weights, phi, lam2)  # (nphi, 3)
+    cjv = np.einsum("q,qj,qv->jv", rule2.weights, phi_v, lam2)  # (nphi, 3)
+    cjv_fac = np.einsum("q,qj,qv->jv", rule2.weights, phi_f, lam2)
 
     pts = mesh.points
     faces = mesh.faces  # sorted vertices
@@ -66,7 +70,7 @@ def hybrid_h1_embedding_3d(V, dtype=jnp.float64):
     Ginv_j = jnp.asarray(Ginv, dtype)
     nhat_j = jnp.asarray(nhat, dtype)
     cjv_v = jnp.asarray(cjv[:nfd_v], dtype)  # hdiv face moments
-    cjv_f = jnp.asarray(cjv[:nss], dtype)  # facet scalar moments
+    cjv_f = jnp.asarray(cjv_fac[:nss], dtype)  # facet scalar moments
 
     # ---- interior completion tables ----------------------------------
     n_int = hd.bases[0].n_cell

@@ -1,9 +1,12 @@
 """Navier-Stokes on the MCS discretization — the reference's centerpiece.
 
 Rebuild of /root/reference/templates/NavierStokesSIMPLE_iterative.py with the
-actual MCS spaces: V = BDM_k H(div) velocity (:24), uhat = tangential facet
-velocity of order k-1 (:26), sigma = H(curl,div) stress (:27), W = L2
-vorticity multiplier (:29), with the Stokes operator (:66-70)
+actual MCS spaces, dimension-generic like the reference's class (its spaces
+switch on mesh.dim at :28-36): V = BDM_k H(div) velocity (:24), uhat =
+tangential facet velocity of order k-1 (:26), sigma = H(curl,div) stress
+(:27; triangles via fem/hcurldiv, tets via fem/hcurldiv3d), W = L2 (2D) /
+VectorL2 (3D) vorticity multiplier (:29-31) paired through Skew2Vec
+(:53-58), with the Stokes operator (:66-70)
 
   stokesA = -(1/(2 nu)) int sigma:tau
           + int (div sigma . v + div tau . u)
@@ -36,12 +39,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem.hcurldiv import hcurldiv_triangle
+from ..fem.hcurldiv3d import hcurldiv_tet
 from ..fem.hdiv import HDiv, VectorFacet, legendre_01
-from ..fem.quadrature import triangle_rule
+from ..fem.hdiv3d import HDiv3D
+from ..fem.quadrature import tetrahedron_rule, triangle_rule
+from ..fem.reference import triangle_modal
 from ..fem.spaces import L2
 from ..ops import assembly as asm
 from ..ops.convection import build_upwind_convection
+from ..ops.convection3d import build_upwind_convection_3d
 from ..ops.facets import facet_geometry
+from ..ops.facets3d import facet_geometry_3d
 from ..solvers.bpcg import bramble_pasciak_cg_opt
 from ..solvers.cg import cg
 from ..utils.timers import Timer
@@ -49,6 +57,12 @@ from .stokes_hybrid import (
     HybridVelocitySpace,
     build_hybrid_preconditioner,
     interpolate_hybrid_boundary,
+)
+from .stokes_hybrid3d import (
+    HybridVelocitySpace3D,
+    VectorFacet3D,
+    build_faceblock_preconditioner_3d,
+    interpolate_hybrid_boundary_3d,
 )
 
 __all__ = ["NavierStokesMCS"]
@@ -143,6 +157,135 @@ def _assemble_mcs_ns_local(mesh, V, facet_space, sigma_basis, W_space, nu):
     return A_ret, A_rc, A_cc, v_p, vol
 
 
+def _assemble_mcs_ns_local_3d(mesh, V, facet_space, sigma_basis, Wq_basis,
+                              Q_basis, nu):
+    """3D element-local 4-field MCS matrices on tets.
+
+    Counterpart of ``_assemble_mcs_ns_local`` for mesh.dim == 3 (the
+    reference's class is dimension-generic,
+    NavierStokesSIMPLE_iterative.py:28-36,53-70): V is a combo-cached
+    HDivSpace3D (BDM tets), ``facet_space`` the tangential facet space in
+    each face's global frame, ``sigma_basis`` the trace-free tet stress
+    element (fem/hcurldiv3d), and the vorticity multiplier is the
+    3-component VectorL2 field W with Skew2Vec(m) = (m01-m10, m20-m02,
+    m12-m21) (reference :57-58).  3D H(div) face dofs are global-frame
+    moments, so no orientation signs exist.
+
+    Returns (A_ret, A_rc, A_cc, M_full, B_loc): the retained/eliminated
+    blocks plus the velocity mass on the retained block and the pressure
+    divergence coupling (per-element tables the model ships to device).
+    """
+    k = V.order
+    nbv = V.n_basis
+    sb = sigma_basis
+    nbs = sb.n_basis
+    nss = facet_space.n_scalar
+    nfd = facet_space.n_face  # 2 * nss
+    nfac = 4 * nfd
+    nbw_s = Wq_basis.n_basis  # scalar modes; W has 3 components
+    nbw = 3 * nbw_s
+
+    J, detJ, Jinv = mesh.element_jacobians
+    ne = mesh.ne
+    vol = tetrahedron_rule(2 * k + 2)
+    w = vol.weights
+
+    v_val, v_grad = V.tabulate_elements(vol.points)  # per-element tables
+    s_val, s_grad = sb.tabulate(vol.points)  # shared reference tables
+    w_val, _ = Wq_basis.tabulate(vol.points)
+
+    # physical sigma: (1/detJ) J^{-T} sigmahat J^T, and Piola velocity
+    sp = np.einsum(
+        "eai,qnab,ejb->eqnij", Jinv, s_val, J, optimize=True
+    ) / detJ[:, None, None, None, None]
+    div_s_ref = np.einsum("qnabb->qna", s_grad)
+    v_p = np.einsum("ecA,eqiA->eqic", J, v_val, optimize=True) / detJ[:, None, None, None]
+
+    n_ret = nbv + nfac
+    n_el = nbs + nbw
+    A_ret = np.zeros((ne, n_ret, n_ret))
+    A_rc = np.zeros((ne, n_ret, n_el))
+    A_cc = np.zeros((ne, n_el, n_el))
+
+    # -(1/(2 nu)) sigma:tau
+    A_cc[:, :nbs, :nbs] += -(0.5 / nu) * np.einsum(
+        "q,eqnij,eqmij,e->enm", w, sp, sp, detJ, optimize=True
+    )
+    # vorticity multiplier: Skew2Vec (reference :57-58)
+    skw = np.stack(
+        [
+            sp[..., 0, 1] - sp[..., 1, 0],
+            sp[..., 2, 0] - sp[..., 0, 2],
+            sp[..., 1, 2] - sp[..., 2, 1],
+        ],
+        axis=-1,
+    )  # (ne, nq, nbs, 3)
+    wr = np.einsum("q,qn,eqmc,e->ecnm", w, w_val, skw, detJ, optimize=True)
+    wr = wr.reshape(ne, nbw, nbs)  # W dof index = c * nbw_s + n
+    A_cc[:, nbs:, :nbs] += wr
+    A_cc[:, :nbs, nbs:] += wr.transpose(0, 2, 1)
+    # div(sigma).v + div(tau).u (reference-frame pairing / detJ)
+    dsv = np.einsum(
+        "q,qma,eqia,e->eim", w, div_s_ref, v_val, 1.0 / detJ, optimize=True
+    )
+    A_rc[:, :nbv, :nbs] += dsv
+
+    # facet terms over the 4 faces (global-frame quadrature)
+    fg = facet_geometry_3d(mesh, 2 * k + 2)
+    fvals, _ = triangle_modal(fg.qp, facet_space.order)  # (nq2, nss)
+    nq2 = len(fg.qp)
+    for lf in range(4):
+        # per-combo trace tabulation (points depend only on the face perm)
+        tv = np.zeros((ne, nq2, nbv, 3))
+        ts = np.zeros((ne, nq2, nbs, 3, 3))
+        for cid in range(len(V.bases)):
+            sel = np.where(V.combo_ids == cid)[0]
+            if not len(sel):
+                continue
+            p0 = fg.ref_points[sel[0], lf]
+            tv[sel] = V.bases[cid].tabulate(p0)[0][None]
+            ts[sel] = sb.tabulate(p0)[0][None]
+        v_tp = np.einsum("ecA,eqiA->eqic", J, tv, optimize=True) / detJ[:, None, None, None]
+        s_tp = np.einsum(
+            "eai,eqnab,ejb->eqnij", Jinv, ts, J, optimize=True
+        ) / detJ[:, None, None, None, None]
+        nrm = fg.normal[:, lf]
+        vn = np.einsum("eqic,ec->eqi", v_tp, nrm, optimize=True)
+        sn = np.einsum("eqnij,ej->eqni", s_tp, nrm, optimize=True)
+        snn = np.einsum("eqni,ei->eqn", sn, nrm, optimize=True)
+        ds = fg.area[:, lf]
+        # -(sigma n.n)(v.n)
+        blk = np.einsum("q,eqm,eqi,e->eim", fg.qw, snn, vn, ds, optimize=True)
+        A_rc[:, :nbv, :nbs] -= blk
+        # -(sigma n).tang(uhat): facet basis = phi_j * frame E_c, dof j*2+c
+        sn_t = sn - snn[..., None] * nrm[:, None, None, :]
+        blk2 = np.einsum(
+            "q,eqmc,qj,edc,e->ejdm", fg.qw, sn_t, fvals, fg.frame[:, lf],
+            ds, optimize=True,
+        ).reshape(ne, nfd, nbs)
+        A_rc[:, nbv + lf * nfd: nbv + (lf + 1) * nfd, :nbs] -= blk2
+
+    # grad-div: 2 nu div(u) div(v)
+    div_v_ref = np.einsum("eqiaa->eqi", v_grad)
+    A_ret[:, :nbv, :nbv] += 2.0 * nu * np.einsum(
+        "q,eqn,eqm,e->enm", w, div_v_ref, div_v_ref, 1.0 / detJ, optimize=True
+    )
+
+    # velocity mass on the retained block (u rows only)
+    M_full = np.zeros((ne, n_ret, n_ret))
+    M_full[:, :nbv, :nbv] = np.einsum(
+        "q,eqic,eqjc,e->eij", w, v_p, v_p, detJ, optimize=True
+    )
+
+    # pressure divergence coupling: int div(u) q dx = int_ref divhat qhat
+    q_val, _ = Q_basis.tabulate(vol.points)
+    B_loc = np.zeros((ne, q_val.shape[1], n_ret))
+    B_loc[:, :, :nbv] = np.einsum(
+        "q,qp,eqi->epi", w, q_val, div_v_ref, optimize=True
+    )
+    return A_ret, A_rc, A_cc, M_full, B_loc
+
+
 class NavierStokesMCS:
     def __init__(
         self,
@@ -158,33 +301,44 @@ class NavierStokesMCS:
         dtype=jnp.float64,
         preconditioner: str = "auxspace",
     ):
-        if mesh.dim != 2:
-            raise NotImplementedError("NavierStokesMCS is 2D this round")
         self.nu, self.timestep, self.uin = nu, timestep, uin
         self.inflow, self.outflow, self.wall = inflow, outflow, wall
         self.mesh, self.order, self.dtype = mesh, order, dtype
         self.preconditioner = preconditioner
 
         dirich = inflow + "|" + wall
-        self.V = HDiv(mesh, order, dirichlet=dirich, RT=False)
-        self.Vhat = VectorFacet(
-            mesh, order - 1, dirichlet=dirich + "|" + outflow
-        )
-        self.Xv = HybridVelocitySpace(self.V, self.Vhat)
-        # stress: polynomial degree k with edge nt-trace degree k-1 — the
+        # stress: polynomial degree k with facet nt-trace degree k-1 — the
         # reference's HCurlDiv(order-1, orderinner=order) (:27).  The
         # interior richness is needed for definiteness of the condensed
         # operator (plain P_{k-1} stress leaves a large kernel) and the
         # reduced trace degree matches the facet space, which the MCS
         # consistency requires (trace degree k would test u_t - uhat_t
         # beyond uhat's polynomial degree).
-        self.sigma_basis = hcurldiv_triangle(order, order_trace=order - 1)
         self.Wspace = L2(mesh, order - 1)
         self.Q = L2(mesh, order - 1)
-
-        A_ret, A_rc, A_cc, v_p, vol = _assemble_mcs_ns_local(
-            mesh, self.V, self.Vhat, self.sigma_basis, self.Wspace, nu
-        )
+        if mesh.dim == 2:
+            self.V = HDiv(mesh, order, dirichlet=dirich, RT=False)
+            self.Vhat = VectorFacet(
+                mesh, order - 1, dirichlet=dirich + "|" + outflow
+            )
+            self.Xv = HybridVelocitySpace(self.V, self.Vhat)
+            self.sigma_basis = hcurldiv_triangle(order, order_trace=order - 1)
+            A_ret, A_rc, A_cc, v_p, vol = _assemble_mcs_ns_local(
+                mesh, self.V, self.Vhat, self.sigma_basis, self.Wspace, nu
+            )
+        else:
+            # 3D: same class, tet spaces (the reference's NavierStokes is
+            # dimension-generic; 3D demo NavierStokesSIMPLE_test_3D.py:20-28)
+            self.V = HDiv3D(mesh, order, dirichlet=dirich)
+            self.Vhat = VectorFacet3D(
+                mesh, order - 1, dirichlet=dirich + "|" + outflow
+            )
+            self.Xv = HybridVelocitySpace3D(self.V, self.Vhat)
+            self.sigma_basis = hcurldiv_tet(order, order_trace=order - 1)
+            A_ret, A_rc, A_cc, M_full_np, B_loc_np = _assemble_mcs_ns_local_3d(
+                mesh, self.V, self.Vhat, self.sigma_basis,
+                self.Wspace.basis, self.Q.basis, nu,
+            )
         # static condensation: batched dense elimination of (sigma, W)
         self._Acc_inv = np.linalg.inv(A_cc)
         self.A_cond_np = A_ret - np.einsum(
@@ -199,30 +353,36 @@ class NavierStokesMCS:
         A_cond = jnp.asarray(self.A_cond_np, dtype)
         self._A_cond = A_cond
 
-        # velocity mass (u block only; signs folded) for mstar + projection
-        nbv = self.V.basis.n_basis
-        M_u = np.einsum(
-            "q,eqic,eqjc,e->eij", vol.weights,
-            v_p * self.V.element_signs[:, None, :, None],
-            v_p * self.V.element_signs[:, None, :, None],
-            mesh.element_jacobians[1],
-        optimize=True)
-        n_ret = self.A_cond_np.shape[1]
-        M_full = np.zeros((mesh.ne, n_ret, n_ret))
-        M_full[:, :nbv, :nbv] = M_u
-        self._M_loc = jnp.asarray(M_full, dtype)
+        if mesh.dim == 2:
+            # velocity mass (u block only; signs folded) for mstar +
+            # projection
+            nbv = self.V.basis.n_basis
+            M_u = np.einsum(
+                "q,eqic,eqjc,e->eij", vol.weights,
+                v_p * self.V.element_signs[:, None, :, None],
+                v_p * self.V.element_signs[:, None, :, None],
+                mesh.element_jacobians[1],
+            optimize=True)
+            n_ret = self.A_cond_np.shape[1]
+            M_full = np.zeros((mesh.ne, n_ret, n_ret))
+            M_full[:, :nbv, :nbv] = M_u
+            self._M_loc = jnp.asarray(M_full, dtype)
 
-        # divergence coupling B: pressure x retained (u block only)
-        qb = self.Q.basis
-        q_val, _ = qb.tabulate(vol.points)
-        _, v_grad = self.V.basis.tabulate(vol.points)
-        div_v_ref = np.einsum("qnaa->qn", v_grad)
-        # int div(u) q dx = sum_q w divhat q (Piola div and detJ cancel):
-        # the same reference-frame block for every element, up to signs
-        B_loc = np.zeros((mesh.ne, qb.n_basis, n_ret))
-        B_ref = np.einsum("q,qp,qi->pi", vol.weights, q_val, div_v_ref, optimize=True)
-        B_loc[:, :, :nbv] = B_ref[None] * self.V.element_signs[:, None, :]
-        self._B_loc = jnp.asarray(B_loc, dtype)
+            # divergence coupling B: pressure x retained (u block only)
+            qb = self.Q.basis
+            q_val, _ = qb.tabulate(vol.points)
+            _, v_grad = self.V.basis.tabulate(vol.points)
+            div_v_ref = np.einsum("qnaa->qn", v_grad)
+            # int div(u) q dx = sum_q w divhat q (Piola div and detJ
+            # cancel): the same reference-frame block for every element,
+            # up to signs
+            B_loc = np.zeros((mesh.ne, qb.n_basis, n_ret))
+            B_ref = np.einsum("q,qp,qi->pi", vol.weights, q_val, div_v_ref, optimize=True)
+            B_loc[:, :, :nbv] = B_ref[None] * self.V.element_signs[:, None, :]
+            self._B_loc = jnp.asarray(B_loc, dtype)
+        else:
+            self._M_loc = jnp.asarray(M_full_np, dtype)
+            self._B_loc = jnp.asarray(B_loc_np, dtype)
         self.eldofs_p = jnp.asarray(self.Q.element_dofs)
 
         free, eldofs = self.free, self.eldofs
@@ -260,10 +420,22 @@ class NavierStokesMCS:
         self._mass_raw = mass_raw
 
         # preconditioners
-        self.preA = build_hybrid_preconditioner(
-            self.Xv, self.A_cond_np, preconditioner, dirich, dtype,
-            coarse_coefficient=nu,
-        )
+        if mesh.dim == 2:
+            self.preA = build_hybrid_preconditioner(
+                self.Xv, self.A_cond_np, preconditioner, dirich, dtype,
+                coarse_coefficient=nu,
+            )
+        elif preconditioner == "auxspace":
+            from .auxspace3d import build_auxspace_preconditioner_3d
+
+            self.preA = build_auxspace_preconditioner_3d(
+                self.Xv, self.A_cond_np, dirich, dtype,
+                coarse_coefficient=nu,
+            )
+        else:
+            self.preA = build_faceblock_preconditioner_3d(
+                self.Xv, self.A_cond_np, dtype
+            )
         diag_m = asm.diagonal_of_local(
             self._M_loc + timestep * A_cond, eldofs, n
         )
@@ -303,7 +475,12 @@ class NavierStokesMCS:
 
         # convection (upwind DG on the H(div) block)
         self._uin_np = self._wrap_uin(uin)
-        conv_v = build_upwind_convection(self.V, self._uin_np, dtype=dtype)
+        if mesh.dim == 2:
+            conv_v = build_upwind_convection(self.V, self._uin_np, dtype=dtype)
+        else:
+            conv_v = build_upwind_convection_3d(
+                self.V, self._uin_np, dtype=dtype
+            )
 
         def convection(u):
             cu = conv_v(u[:nbv_total])
@@ -315,7 +492,12 @@ class NavierStokesMCS:
         self.f = jnp.zeros(n, dtype)
         if volumeforce is not None:
             self.AddForce(volumeforce)
-        u_bc = interpolate_hybrid_boundary(self.Xv, self._uin_np, inflow)
+        if mesh.dim == 2:
+            u_bc = interpolate_hybrid_boundary(self.Xv, self._uin_np, inflow)
+        else:
+            u_bc = interpolate_hybrid_boundary_3d(
+                self.Xv, self._uin_np, inflow
+            )
         self.u_bc = jnp.asarray(u_bc, dtype)
         self.u = self.u_bc
         self.p = jnp.zeros(self.Q.ndof, dtype)
@@ -326,10 +508,12 @@ class NavierStokesMCS:
     # ------------------------------------------------------------------
 
     def _wrap_uin(self, uin):
+        dim = self.mesh.dim
+
         def f(p):
             out = np.asarray(uin(p))
             if out.ndim == 1:
-                full = np.zeros((len(p), 2))
+                full = np.zeros((len(p), dim))
                 full[:, 0] = out
                 return full
             return out
@@ -351,20 +535,32 @@ class NavierStokesMCS:
 
     def _force_local(self, force):
         mesh = self.mesh
-        hb = self.V.basis
+        dim = mesh.dim
         J, detJ, _ = mesh.element_jacobians
-        vol = triangle_rule(2 * hb.order + 2)
-        v_val, _ = hb.tabulate(vol.points)
-        v_p = np.einsum("ecA,qiA->eqic", J, v_val, optimize=True) / detJ[:, None, None, None]
-        v_p = v_p * self.V.element_signs[:, None, :, None]
+        if dim == 2:
+            hb = self.V.basis
+            vol = triangle_rule(2 * hb.order + 2)
+            v_val, _ = hb.tabulate(vol.points)
+            v_p = np.einsum(
+                "ecA,qiA->eqic", J, v_val, optimize=True
+            ) / detJ[:, None, None, None]
+            v_p = v_p * self.V.element_signs[:, None, :, None]
+            nbv = hb.n_basis
+        else:
+            vol = tetrahedron_rule(2 * self.V.order + 2)
+            v_val, _ = self.V.tabulate_elements(vol.points)
+            v_p = np.einsum(
+                "ecA,eqiA->eqic", J, v_val, optimize=True
+            ) / detJ[:, None, None, None]
+            nbv = self.V.n_basis
         qpts = mesh.points[mesh.elements[:, 0]][:, None, :] + np.einsum(
             "eab,qb->eqa", J, vol.points
         , optimize=True)
-        fq = np.asarray(force(qpts.reshape(-1, 2))).reshape(mesh.ne, -1, 2)
+        fq = np.asarray(force(qpts.reshape(-1, dim))).reshape(mesh.ne, -1, dim)
         fe_v = np.einsum("q,eqc,eqic,e->ei", vol.weights, fq, v_p, detJ, optimize=True)
         n_ret = self.A_cond_np.shape[1]
         fe = np.zeros((mesh.ne, n_ret))
-        fe[:, : hb.n_basis] = fe_v
+        fe[:, :nbv] = fe_v
         out = np.zeros(self.n)
         np.add.at(out, self.Xv.element_dofs.ravel(), fe.ravel())
         return out

@@ -218,7 +218,11 @@ def interpolate_hybrid_boundary_3d(
     from ..fem.quadrature import triangle_rule
 
     rule = triangle_rule(2 * V.hdiv.order + 2)
-    fvals, _ = triangle_modal(rule.points, max(V.hdiv.order, V.facet.order))
+    # separate tabulations per order: triangle_modal orders modes as
+    # [(0,0),(0,1),(0,2),...], so the first nss columns of a HIGHER-order
+    # tabulation are NOT the facet space's modes when the orders differ
+    fvals, _ = triangle_modal(rule.points, V.hdiv.order)
+    fvals_f, _ = triangle_modal(rule.points, V.facet.order)
     u = np.zeros(V.ndof)
     pts = mesh.points
     for f in mesh.boundary_facet_ids(names):
@@ -243,8 +247,8 @@ def interpolate_hybrid_boundary_3d(
         )[None, :]
         for j in range(nss):
             m = np.array([
-                np.einsum("q,qc,c,q->", rule.weights, tang, E1, fvals[:, j], optimize=True),
-                np.einsum("q,qc,c,q->", rule.weights, tang, E2, fvals[:, j], optimize=True),
+                np.einsum("q,qc,c,q->", rule.weights, tang, E1, fvals_f[:, j], optimize=True),
+                np.einsum("q,qc,c,q->", rule.weights, tang, E2, fvals_f[:, j], optimize=True),
             ])
             c = Ginv @ m
             u[V.hdiv.ndof + f * nfd_f + 2 * j] = c[0]

@@ -6,8 +6,8 @@ Usage: python scripts/run_stokes.py [-p] [out.csv]
   out.csv   output file (default errors.csv, run.py:222-224)
 
 Active configuration mirrors the reference's module literals
-(run.py:265-296) with the currently-implemented discretization families;
-the reference's active config (HDG BDM 2) joins once H(div) spaces land.
+(run.py:265-296): every mixed entry commented out, "HDG BDM 2" + BPCG
+active.  Uncomment entries below to widen the sweep to the full catalog.
 """
 
 import sys

@@ -13,6 +13,45 @@ os.environ["XLA_FLAGS"] = (
 )
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# ---------------------------------------------------------------------------
+# Test tiering: end-to-end solves (channel benchmarks, refinement passes,
+# multichip dryruns) are marked ``slow`` here so the default development
+# loop is ``pytest -m "not slow"`` (< 3 min); the full suite runs nightly /
+# before release commits.  The tier policy lives in this one list so
+# re-tiering is a one-line change.
+# ---------------------------------------------------------------------------
+SLOW_TESTS = {
+    "test_navier_stokes_3d",
+    "test_refined_mcs_solve_initial",
+    "test_refinement_matches_f64_stokes_solve",
+    "test_graft_entry_multichip",
+    "test_graft_entry_single_chip",
+    "test_ns_hdg3d_smoke",
+    "test_reynolds_ensemble_sharded",
+    "test_viscosity_step_matches_do_time_step",
+    "test_auxspace_beats_plain_blocks",
+    "test_hdg3d_poiseuille_exact_direct",
+    "test_hdg3d_bpcg_solves",
+    "test_mcs_ns_poiseuille_exact",
+    "test_mcs_ns_time_stepping",
+    "test_mcs_minres_matches_direct",
+    "test_two_level_beats_jacobi_and_is_h_robust",
+    "test_heat_exponential_integrator_convergence",
+    "test_curved_stokes_solves",
+    # 3D MCS end-to-end (round 2)
+    "test_mcs_ns_3d_poiseuille_exact",
+    "test_mcs_ns_3d_channel_steady",
+    "test_mcs_ns_3d_time_stepping",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
