@@ -170,28 +170,203 @@ def hybrid_h1_embedding_3d(V, dtype=jnp.float64):
     return T, TT
 
 
-def build_auxspace_preconditioner_3d(
-    V, A_np, velocity_dirichlet: str, dtype=jnp.float64,
-    coarse_coefficient: float = 1.0,
-):
-    """Face-block smoother + vector-P1 coarse correction (additive)."""
-    from .stokes_hybrid3d import build_faceblock_preconditioner_3d
-
-    smooth = build_faceblock_preconditioner_3d(V, A_np, dtype)
-    T, TT = hybrid_h1_embedding_3d(V, dtype)
+def _edge_star_skeleton_blocks(V) -> list[np.ndarray]:
+    """Edge-star patches on the skeleton: all face + facet dofs of the
+    faces containing each mesh edge.  Edges are the codim-2 entities of a
+    tet mesh, so these are the 3D analogue of the 2D vertex-star patches;
+    patch sizes stay O(faces-around-an-edge * dofs-per-face), small enough
+    for batched dense inverses at scale (3D vertex patches are not)."""
     mesh = V.mesh
+    nfd_v, nfd_f = V.hdiv.n_face_dofs, V.facet.n_face
+    # face -> its 3 edges, via the sorted-pair edge table
+    edge_key = {tuple(e): i for i, e in enumerate(mesh.edges.tolist())}
+    blocks: list[list[int]] = [[] for _ in range(mesh.nedge)]
+    for f, (a, b, c) in enumerate(mesh.faces.tolist()):
+        dofs_f = list(range(f * nfd_v, (f + 1) * nfd_v)) + list(
+            range(V.hdiv.ndof + f * nfd_f, V.hdiv.ndof + (f + 1) * nfd_f)
+        )
+        for pair in ((a, b), (a, c), (b, c)):
+            blocks[edge_key[pair]].extend(dofs_f)
+    return blocks
+
+
+def build_skeleton_preconditioner_3d(
+    V, A_np, velocity_dirichlet: str, dtype=jnp.float64,
+    coarse_coefficient: float = 1.0, gs: bool = False,
+):
+    """Condensation-aware preconditioner for the 3D condensed MCS/HDG
+    operator: exact batched solve of the element-interior block, an
+    edge-star block smoother on the skeleton Schur complement, and the
+    vector-P1 auxiliary-space coarse correction — the TPU rendering of the
+    reference's ``ext @ MypreA @ extT + inner_solve`` with BDM interior
+    dofs condensed (NavierStokesSIMPLE_iterative.py:93-96,188-192,364-391).
+
+    preA = E (smooth_S + T coarse T^T) E^T + I_i A_ii^{-1} I_i^T, with
+    E the harmonic extension of skeleton values into element interiors and
+    S the skeleton Schur complement; ``gs=True`` replaces the additive
+    smoother+coarse by the symmetric multi-color block-GS sweep around the
+    coarse correction (MypreA.Mult, :375-381) applied to S.
+    """
+    from ..ops import assembly as asm
+    from ..precond.jacobi import block_jacobi, extract_blocks_from_local
+
+    mesh = V.mesh
+    nV = V.ndof
+    hd = V.hdiv
+    nbv = hd.n_basis
+    nfd_v = hd.n_face_dofs
+    n_face_tot = 4 * nfd_v
+    n_int = hd.bases[0].n_cell
+    nfac = V.facet.n_face * 4
+    ne = mesh.ne
+
+    loc_int = np.arange(n_face_tot, nbv)
+    loc_skel = np.concatenate(
+        [np.arange(n_face_tot), np.arange(nbv, nbv + nfac)]
+    )
+    eldofs = V.element_dofs
+    eldofs_skel = np.ascontiguousarray(eldofs[:, loc_skel])
+    int_dofs = np.ascontiguousarray(eldofs[:, loc_int])
+
+    A_ii = A_np[:, loc_int[:, None], loc_int[None, :]]
+    A_is = A_np[:, loc_int[:, None], loc_skel[None, :]]
+    A_ss = A_np[:, loc_skel[:, None], loc_skel[None, :]]
+    A_ii_inv = np.linalg.inv(A_ii)
+    AinvAis = np.matmul(A_ii_inv, A_is)  # (ne, n_int, n_skel)
+    S_loc = A_ss - np.matmul(A_is.transpose(0, 2, 1), AinvAis)
+
+    free = jnp.asarray(V.free_mask)
+    fmask = V.free_mask
+    blks = [
+        np.asarray([d for d in b if fmask[d]], np.int32)
+        for b in _edge_star_skeleton_blocks(V)
+    ]
+    blks = [b for b in blks if len(b)]
+    dofs, mats = extract_blocks_from_local(S_loc, eldofs_skel, blks, nV)
+
+    # coarse: vector-P1 embedding (full-space transfer; the extension E
+    # overwrites its interior completion with the exact harmonic one)
+    T, TT = hybrid_h1_embedding_3d(V, dtype)
     space = H1(mesh, 1, dirichlet=velocity_dirichlet)
     solve1 = coarse_p1_solver(space, coarse_coefficient, dtype)
     nv = mesh.nv
-    free = jnp.asarray(V.free_mask)
 
     def coarse(r):
-        r3 = r.reshape(3, nv)
-        return jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1)
+        r3 = TT(r).reshape(3, nv)
+        return T(jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1))
+
+    eldofs_skel_j = jnp.asarray(eldofs_skel)
+    int_dofs_j = jnp.asarray(int_dofs)
+    AinvAis_j = jnp.asarray(AinvAis, dtype)
+    A_ii_inv_j = jnp.asarray(A_ii_inv, dtype)
+    S_loc_j = jnp.asarray(S_loc, dtype)
+
+    def ext(y):
+        """Harmonic extension: overwrite interiors from skeleton values."""
+        ys = y[eldofs_skel_j]
+        yi = -jnp.einsum("eis,es->ei", AinvAis_j, ys)
+        return y.at[int_dofs_j].set(yi)
+
+    def extT(x):
+        """Transpose: fold interior residual into skeleton, zero interiors."""
+        xi = x[int_dofs_j]
+        rs = -jnp.einsum("eis,ei->es", AinvAis_j, xi)
+        out = x.at[int_dofs_j].set(0.0)
+        return out.at[eldofs_skel_j].add(rs)
+
+    def inner(x):
+        xi = x[int_dofs_j]
+        yi = jnp.einsum("eij,ej->ei", A_ii_inv_j, xi)
+        return jnp.zeros_like(x).at[int_dofs_j].set(yi)
+
+    if gs:
+        from ..precond.multicolor import (
+            MulticolorGS,
+            color_blocks,
+            damped_coarse,
+        )
+
+        def S_apply(x):
+            xf = jnp.where(free, x, 0.0)
+            y = asm.apply_local_matrices(S_loc_j, eldofs_skel_j, nV, xf)
+            return jnp.where(free, y, 0.0)
+
+        colors = color_blocks(blks, nV, eldofs_skel)
+        mgs = MulticolorGS(dofs, mats, colors, nV, dtype)
+        rng = np.random.default_rng(7)
+        example = jnp.asarray(rng.standard_normal(nV), dtype) * free
+        coarse_gs, _, _ = damped_coarse(coarse, S_apply, example)
+
+        def pre_skel(xs):
+            y = mgs.forward(S_apply, xs, jnp.zeros_like(xs))
+            r = xs - S_apply(y)
+            y = y + coarse_gs(r)
+            return mgs.backward(S_apply, xs, y)
+
+    else:
+        smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
+
+        def pre_skel(xs):
+            return smooth(xs) + coarse(xs)
+
+    def preA(x):
+        xf = jnp.where(free, x, 0.0)
+        rs = jnp.where(free, extT(xf), 0.0)
+        y = ext(pre_skel(rs)) + inner(xf)
+        return jnp.where(free, y, x)
+
+    return preA
+
+
+def build_auxspace_preconditioner_3d(
+    V, A_np, velocity_dirichlet: str, dtype=jnp.float64,
+    coarse_coefficient: float = 1.0, blocks: str = "vertexstar",
+    gs: bool = False, A_apply=None,
+):
+    """Overlapping block smoother + vector-P1 coarse correction, the 3D
+    counterpart of the reference's MypreA structure.  ``gs=True`` switches
+    to the symmetric multi-color block-GS variant (MypreA.Mult with
+    GS=True, reference :375-381); needs ``A_apply``."""
+    from ..precond.jacobi import block_jacobi, extract_blocks_from_local
+    from .stokes_hybrid3d import hybrid_blocks_3d
+
+    mesh = V.mesh
+    nV = V.ndof
+    free = jnp.asarray(V.free_mask)
+    fmask = V.free_mask
+    blks = [
+        np.asarray([d for d in blk if fmask[d]], np.int32)
+        for blk in hybrid_blocks_3d(V, blocks)
+    ]
+    blks = [b for b in blks if len(b)]
+    dofs, mats = extract_blocks_from_local(A_np, V.element_dofs, blks, nV)
+
+    T, TT = hybrid_h1_embedding_3d(V, dtype)
+    space = H1(mesh, 1, dirichlet=velocity_dirichlet)
+    solve1 = coarse_p1_solver(space, coarse_coefficient, dtype)
+    nv = mesh.nv
+
+    def coarse(r):
+        r3 = TT(r).reshape(3, nv)
+        return T(jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1))
+
+    if gs:
+        from ..precond.multicolor import (
+            MulticolorGS,
+            color_blocks,
+            symmetric_gs_preconditioner,
+        )
+
+        assert A_apply is not None, "gs=True needs the masked operator"
+        colors = color_blocks(blks, nV, eldofs_skel)
+        mgs = MulticolorGS(dofs, mats, colors, nV, dtype)
+        return symmetric_gs_preconditioner(mgs, A_apply, coarse, free)
+
+    smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
 
     def preA(u):
         uf = jnp.where(free, u, 0.0)
-        y = smooth(uf) + T(coarse(TT(uf)))
+        y = smooth(uf) + coarse(uf)
         return jnp.where(free, y, u)
 
     return preA

@@ -171,6 +171,17 @@ def _assemble_mcs_ns_local_3d(mesh, V, facet_space, sigma_basis, Wq_basis,
     m12-m21) (reference :57-58).  3D H(div) face dofs are global-frame
     moments, so no orientation signs exist.
 
+    Affine factorization: every physical integral is a combo-level
+    REFERENCE integral (shared across all elements with the same face
+    orientations) contracted with a small per-element geometry tensor
+    built from J / Jinv / detJ — no per-element quadrature arrays are ever
+    materialized, so host assembly cost is a handful of GEMMs:
+
+      sigma_phys : tau_phys = (1/detJ^2) sigmahat : (Ginv tauhat G),
+      skw_c(sigma_phys)     = K[c,a,b] sigmahat_ab / detJ,
+      (sigma_phys n)_i      = (1/detJ) Jinv[a,i] (sigmahat J^T n)_a,
+      v_phys . n            = vhat . (J^T n) / detJ.
+
     Returns (A_ret, A_rc, A_cc, M_full, B_loc): the retained/eliminated
     blocks plus the velocity mass on the retained block and the pressure
     divergence coupling (per-element tables the model ships to device).
@@ -189,100 +200,139 @@ def _assemble_mcs_ns_local_3d(mesh, V, facet_space, sigma_basis, Wq_basis,
     ne = mesh.ne
     vol = tetrahedron_rule(2 * k + 2)
     w = vol.weights
+    nq = len(w)
 
-    v_val, v_grad = V.tabulate_elements(vol.points)  # per-element tables
     s_val, s_grad = sb.tabulate(vol.points)  # shared reference tables
     w_val, _ = Wq_basis.tabulate(vol.points)
-
-    # physical sigma: (1/detJ) J^{-T} sigmahat J^T, and Piola velocity
-    sp = np.einsum(
-        "eai,qnab,ejb->eqnij", Jinv, s_val, J, optimize=True
-    ) / detJ[:, None, None, None, None]
-    div_s_ref = np.einsum("qnabb->qna", s_grad)
-    v_p = np.einsum("ecA,eqiA->eqic", J, v_val, optimize=True) / detJ[:, None, None, None]
+    q_val, _ = Q_basis.tabulate(vol.points)
+    ncombo = len(V.bases)
+    combo_sel = [np.where(V.combo_ids == c)[0] for c in range(ncombo)]
+    vtabs = [V.bases[c].tabulate(vol.points) for c in range(ncombo)]
 
     n_ret = nbv + nfac
     n_el = nbs + nbw
     A_ret = np.zeros((ne, n_ret, n_ret))
     A_rc = np.zeros((ne, n_ret, n_el))
     A_cc = np.zeros((ne, n_el, n_el))
+    M_full = np.zeros((ne, n_ret, n_ret))
+    B_loc = np.zeros((ne, q_val.shape[1], n_ret))
 
-    # -(1/(2 nu)) sigma:tau
-    A_cc[:, :nbs, :nbs] += -(0.5 / nu) * np.einsum(
-        "q,eqnij,eqmij,e->enm", w, sp, sp, detJ, optimize=True
-    )
-    # vorticity multiplier: Skew2Vec (reference :57-58)
-    skw = np.stack(
+    G = np.matmul(J.transpose(0, 2, 1), J)
+    Ginv = np.linalg.inv(G)
+
+    # -(1/(2 nu)) sigma:tau: D[a,c,d,b][n,m] = sum_q w shat[q,n,a,b]
+    # shat[q,m,c,d]; per element contract with Ginv[a,c] G[d,b] / detJ.
+    sw = s_val * w[:, None, None, None]
+    D = np.tensordot(sw, s_val, axes=(0, 0))  # (nbs,3a,3b, nbs,3c,3d)
+    D2 = np.ascontiguousarray(D.transpose(1, 4, 5, 2, 0, 3)).reshape(
+        81, nbs * nbs
+    )  # (a,c,d,b) x (n,m)
+    CC = (Ginv[:, :, None, None, :] * G.transpose(0, 2, 1)[:, None, :, :, None]
+          ).transpose(0, 1, 4, 2, 3)  # [e,a,c,d,b] = Ginv[e,a,c] G[e,d,b]
+    A_cc[:, :nbs, :nbs] += (-(0.5 / nu) / detJ)[:, None, None] * np.matmul(
+        CC.reshape(ne, 81), D2
+    ).reshape(ne, nbs, nbs)
+
+    # vorticity multiplier Skew2Vec (reference :57-58): skw_c(sigma_phys) =
+    # K[e,c,a,b] sigmahat_ab / detJ; detJ cancels against the volume element
+    K = np.stack(
         [
-            sp[..., 0, 1] - sp[..., 1, 0],
-            sp[..., 2, 0] - sp[..., 0, 2],
-            sp[..., 1, 2] - sp[..., 2, 1],
+            np.einsum("ea,eb->eab", Jinv[:, :, 0], J[:, 1, :])
+            - np.einsum("ea,eb->eab", Jinv[:, :, 1], J[:, 0, :]),
+            np.einsum("ea,eb->eab", Jinv[:, :, 2], J[:, 0, :])
+            - np.einsum("ea,eb->eab", Jinv[:, :, 0], J[:, 2, :]),
+            np.einsum("ea,eb->eab", Jinv[:, :, 1], J[:, 2, :])
+            - np.einsum("ea,eb->eab", Jinv[:, :, 2], J[:, 1, :]),
         ],
-        axis=-1,
-    )  # (ne, nq, nbs, 3)
-    wr = np.einsum("q,qn,eqmc,e->ecnm", w, w_val, skw, detJ, optimize=True)
-    wr = wr.reshape(ne, nbw, nbs)  # W dof index = c * nbw_s + n
+        axis=1,
+    )  # (ne, 3, 3, 3)
+    # WS[nw, m, a, b] = sum_q w wval[q,nw] shat[q,m,a,b]
+    WS = np.tensordot(w_val * w[:, None], s_val, axes=(0, 0))
+    wr = np.tensordot(
+        K.reshape(ne * 3, 9), WS.transpose(2, 3, 0, 1).reshape(9, nbw_s * nbs),
+        axes=(1, 0),
+    ).reshape(ne, 3, nbw_s, nbs).reshape(ne, nbw, nbs)
     A_cc[:, nbs:, :nbs] += wr
     A_cc[:, :nbs, nbs:] += wr.transpose(0, 2, 1)
-    # div(sigma).v + div(tau).u (reference-frame pairing / detJ)
-    dsv = np.einsum(
-        "q,qma,eqia,e->eim", w, div_s_ref, v_val, 1.0 / detJ, optimize=True
-    )
-    A_rc[:, :nbv, :nbs] += dsv
 
-    # facet terms over the 4 faces (global-frame quadrature)
+    # div(sigma).v: per-combo reference integral E_c[i,m], scaled 1/detJ
+    div_s_ref = np.einsum("qnabb->qna", s_grad)
+    wdsr = w[:, None, None] * div_s_ref  # (nq, nbs, 3)
+    for c in range(ncombo):
+        sel = combo_sel[c]
+        if not len(sel):
+            continue
+        vv, vg = vtabs[c]
+        E_c = np.tensordot(
+            vv.reshape(nq, nbv, 3), wdsr, axes=([0, 2], [0, 2])
+        )  # (nbv, nbs)
+        A_rc[sel, :nbv, :nbs] += E_c[None] / detJ[sel, None, None]
+        # grad-div 2 nu (div u)(div v) / detJ and mass / B from the same tabs
+        dvr = np.einsum("qiaa->qi", vg)  # (nq, nbv)
+        GD = dvr.T @ (dvr * w[:, None])
+        A_ret[sel, :nbv, :nbv] += (2.0 * nu / detJ[sel, None, None]) * GD[None]
+        # velocity mass: M[e] = (1/detJ) G[e,a,b] C[a,b] with
+        # C[a,b,i,j] = sum_q w vhat[q,i,a] vhat[q,j,b]
+        Cab = np.einsum("qia,qjb->abij", vv * w[:, None, None], vv, optimize=True)
+        M_full[sel[:, None, None], np.arange(nbv)[None, :, None],
+               np.arange(nbv)[None, None, :]] = np.matmul(
+            G[sel].reshape(-1, 1, 9), Cab.reshape(9, nbv * nbv)[None]
+        ).reshape(len(sel), nbv, nbv) / detJ[sel, None, None]
+        # pressure coupling: int div(u) q dx = int_ref divhat qhat
+        B_loc[sel, :, :nbv] = ((q_val * w[:, None]).T @ dvr)[None]
+
+    # facet terms over the 4 faces (global-frame quadrature): combo-level
+    # trace integrals T1/S2 contracted with per-element (m, r, s) vectors,
+    # m = J^T n, r = Jinv n, s_d = Jinv E_d.
     fg = facet_geometry_3d(mesh, 2 * k + 2)
     fvals, _ = triangle_modal(fg.qp, facet_space.order)  # (nq2, nss)
-    nq2 = len(fg.qp)
+    fw = fvals * fg.qw[:, None]
     for lf in range(4):
-        # per-combo trace tabulation (points depend only on the face perm)
-        tv = np.zeros((ne, nq2, nbv, 3))
-        ts = np.zeros((ne, nq2, nbs, 3, 3))
-        for cid in range(len(V.bases)):
-            sel = np.where(V.combo_ids == cid)[0]
+        nrm = fg.normal[:, lf]
+        ds = fg.area[:, lf]
+        m_e = np.einsum("eba,eb->ea", J, nrm)  # J^T n
+        r_e = np.einsum("eab,eb->ea", Jinv, nrm)  # Jinv n
+        s_e = np.matmul(Jinv[:, None], fg.frame[:, lf, :, :, None]).squeeze(-1)
+        # (ne, 2, 3): s_d = Jinv E_d
+        for c in range(ncombo):
+            sel = combo_sel[c]
             if not len(sel):
                 continue
             p0 = fg.ref_points[sel[0], lf]
-            tv[sel] = V.bases[cid].tabulate(p0)[0][None]
-            ts[sel] = sb.tabulate(p0)[0][None]
-        v_tp = np.einsum("ecA,eqiA->eqic", J, tv, optimize=True) / detJ[:, None, None, None]
-        s_tp = np.einsum(
-            "eai,eqnab,ejb->eqnij", Jinv, ts, J, optimize=True
-        ) / detJ[:, None, None, None, None]
-        nrm = fg.normal[:, lf]
-        vn = np.einsum("eqic,ec->eqi", v_tp, nrm, optimize=True)
-        sn = np.einsum("eqnij,ej->eqni", s_tp, nrm, optimize=True)
-        snn = np.einsum("eqni,ei->eqn", sn, nrm, optimize=True)
-        ds = fg.area[:, lf]
-        # -(sigma n.n)(v.n)
-        blk = np.einsum("q,eqm,eqi,e->eim", fg.qw, snn, vn, ds, optimize=True)
-        A_rc[:, :nbv, :nbs] -= blk
-        # -(sigma n).tang(uhat): facet basis = phi_j * frame E_c, dof j*2+c
-        sn_t = sn - snn[..., None] * nrm[:, None, None, :]
-        blk2 = np.einsum(
-            "q,eqmc,qj,edc,e->ejdm", fg.qw, sn_t, fvals, fg.frame[:, lf],
-            ds, optimize=True,
-        ).reshape(ne, nfd, nbs)
-        A_rc[:, nbv + lf * nfd: nbv + (lf + 1) * nfd, :nbs] -= blk2
-
-    # grad-div: 2 nu div(u) div(v)
-    div_v_ref = np.einsum("eqiaa->eqi", v_grad)
-    A_ret[:, :nbv, :nbv] += 2.0 * nu * np.einsum(
-        "q,eqn,eqm,e->enm", w, div_v_ref, div_v_ref, 1.0 / detJ, optimize=True
-    )
-
-    # velocity mass on the retained block (u rows only)
-    M_full = np.zeros((ne, n_ret, n_ret))
-    M_full[:, :nbv, :nbv] = np.einsum(
-        "q,eqic,eqjc,e->eij", w, v_p, v_p, detJ, optimize=True
-    )
-
-    # pressure divergence coupling: int div(u) q dx = int_ref divhat qhat
-    q_val, _ = Q_basis.tabulate(vol.points)
-    B_loc = np.zeros((ne, q_val.shape[1], n_ret))
-    B_loc[:, :, :nbv] = np.einsum(
-        "q,qp,eqi->epi", w, q_val, div_v_ref, optimize=True
-    )
+            vtr = V.bases[c].tabulate(p0)[0]  # (nq2, nbv, 3)
+            str_ = sb.tabulate(p0)[0]  # (nq2, nbs, 3, 3)
+            # T1[c3,a,b][i,m] = sum_q w2 vtr[q,i,c3] str[q,m,a,b]
+            T1 = np.tensordot(
+                vtr * fg.qw[:, None, None], str_, axes=(0, 0)
+            )  # (nbv, 3c3, nbs, 3a, 3b)
+            T1 = np.ascontiguousarray(T1.transpose(1, 3, 4, 0, 2)).reshape(
+                27, nbv * nbs
+            )
+            # -(sigma n.n)(v.n): coeff = m_c3 r_a m_b * ds / detJ^2
+            co = (
+                m_e[sel][:, :, None, None]
+                * r_e[sel][:, None, :, None]
+                * m_e[sel][:, None, None, :]
+            ).reshape(len(sel), 27)
+            blk = np.matmul(co, T1).reshape(len(sel), nbv, nbs)
+            A_rc[sel, :nbv, :nbs] -= blk * (
+                ds[sel] / detJ[sel] ** 2
+            )[:, None, None]
+            # -(sigma n).tang(uhat): S2[a,b][j,m] = sum_q w2 f[q,j] str[q,m,a,b]
+            S2 = np.tensordot(fw, str_, axes=(0, 0))  # (nss, nbs, 3a, 3b)
+            S2 = np.ascontiguousarray(S2.transpose(2, 3, 0, 1)).reshape(
+                9, nss * nbs
+            )
+            co2 = (
+                s_e[sel][:, :, :, None] * m_e[sel][:, None, None, :]
+            ).reshape(len(sel) * 2, 9)
+            blk2 = np.matmul(co2, S2).reshape(len(sel), 2, nss, nbs)
+            blk2 = blk2.transpose(0, 2, 1, 3).reshape(len(sel), nfd, nbs)
+            A_rc[
+                sel[:, None, None],
+                nbv + lf * nfd + np.arange(nfd)[None, :, None],
+                np.arange(nbs)[None, None, :],
+            ] -= blk2 * (ds[sel] / detJ[sel])[:, None, None]
     return A_ret, A_rc, A_cc, M_full, B_loc
 
 
@@ -419,23 +469,13 @@ class NavierStokesMCS:
         self.B, self.B_raw, self.BT = B, B_raw, BT
         self._mass_raw = mass_raw
 
-        # preconditioners
-        if mesh.dim == 2:
-            self.preA = build_hybrid_preconditioner(
-                self.Xv, self.A_cond_np, preconditioner, dirich, dtype,
-                coarse_coefficient=nu,
-            )
-        elif preconditioner == "auxspace":
-            from .auxspace3d import build_auxspace_preconditioner_3d
-
-            self.preA = build_auxspace_preconditioner_3d(
-                self.Xv, self.A_cond_np, dirich, dtype,
-                coarse_coefficient=nu,
-            )
-        else:
-            self.preA = build_faceblock_preconditioner_3d(
-                self.Xv, self.A_cond_np, dtype
-            )
+        # preconditioners: the additive variant (GS=False) is the default;
+        # SolveInitial(GS=True) swaps in the symmetric multi-color
+        # block-Gauss-Seidel variant (reference MypreA.Mult :375-381),
+        # built lazily from the same blocks via _preA_for.
+        self._dirich = dirich
+        self._preA_cache: dict[bool, object] = {}
+        self.preA = self._preA_for(GS=False)
         diag_m = asm.diagonal_of_local(
             self._M_loc + timestep * A_cond, eldofs, n
         )
@@ -565,6 +605,53 @@ class NavierStokesMCS:
         np.add.at(out, self.Xv.element_dofs.ravel(), fe.ravel())
         return out
 
+    def _preA_for(self, GS: bool):
+        """Additive (GS=False) or symmetric multi-color block-GS (GS=True)
+        variant of the A-preconditioner, built from the same patch blocks
+        (reference MypreA, NavierStokesSIMPLE_iterative.py:364-391)."""
+        if GS not in self._preA_cache:
+            if self.mesh.dim == 2:
+                self._preA_cache[GS] = build_hybrid_preconditioner(
+                    self.Xv, self.A_cond_np, self.preconditioner,
+                    self._dirich, self.dtype, coarse_coefficient=self.nu,
+                    gs=GS, A_apply=self.A if GS else None,
+                )
+            elif self.preconditioner == "auxspace":
+                from .auxspace3d import build_skeleton_preconditioner_3d
+
+                self._preA_cache[GS] = build_skeleton_preconditioner_3d(
+                    self.Xv, self.A_cond_np, self._dirich, self.dtype,
+                    coarse_coefficient=self.nu, gs=GS,
+                )
+            elif GS:
+                from ..precond.multicolor import (
+                    MulticolorGS,
+                    color_blocks,
+                    symmetric_gs_preconditioner,
+                )
+                from ..precond.jacobi import extract_blocks_from_local
+                from .stokes_hybrid3d import hybrid_blocks_3d
+
+                fmask = self.Xv.free_mask
+                blks = [
+                    np.asarray([d for d in b if fmask[d]], np.int32)
+                    for b in hybrid_blocks_3d(self.Xv, "face")
+                ]
+                blks = [b for b in blks if len(b)]
+                dofs, mats = extract_blocks_from_local(
+                    self.A_cond_np, self.Xv.element_dofs, blks, self.n
+                )
+                colors = color_blocks(blks, self.n, self.Xv.element_dofs)
+                mgs = MulticolorGS(dofs, mats, colors, self.n, self.dtype)
+                self._preA_cache[GS] = symmetric_gs_preconditioner(
+                    mgs, self.A, None, self.free
+                )
+            else:
+                self._preA_cache[GS] = build_faceblock_preconditioner_3d(
+                    self.Xv, self.A_cond_np, self.dtype
+                )
+        return self._preA_cache[GS]
+
     def SolveInitial(self, timesteps=None, iterative: bool = True,
                      GS: bool = True, tol: float = 1e-10,
                      maxsteps: int = 100000):
@@ -577,16 +664,17 @@ class NavierStokesMCS:
                 self.Project()
             return
 
-        key = (tol, maxsteps)
+        key = (tol, maxsteps, GS)
         if getattr(self, "_solve_key", None) != key:
             self._solve_key = key
+            preA = self._preA_for(GS)
 
             @jax.jit
             def solve_initial(f, u_bc):
                 f_mod = jnp.where(self.free, f - self.A_raw(u_bc), 0.0)
                 g_mod = -self.B_raw(u_bc)
                 return bramble_pasciak_cg_opt(
-                    self.A, self.B, self.BT, self.preA, self.preM,
+                    self.A, self.B, self.BT, preA, self.preM,
                     f_mod, g_mod, tol=tol, maxsteps=maxsteps, rel_err=True,
                 )
 

@@ -370,6 +370,8 @@ def build_hybrid_preconditioner(
     velocity_dirichlet: str,
     dtype=jnp.float64,
     coarse_coefficient: float = 1.0,
+    gs: bool = False,
+    A_apply=None,
 ):
     """A-block preconditioner for [HDiv | facet] systems (shared by the HDG
     Stokes and the condensed MCS Navier-Stokes operator).
@@ -378,6 +380,11 @@ def build_hybrid_preconditioner(
     ``vertexstar`` (overlapping vertex patches) | ``auxspace``
     (vertexstar + vector-P1 coarse correction — the reference's MypreA
     structure, NavierStokesSIMPLE_iterative.py:211-391).
+
+    ``gs=True`` switches the block smoother from additive to symmetric
+    multi-color block Gauss-Seidel (forward sweep, coarse, backward sweep
+    — MypreA.Mult with GS=True, reference :375-381); requires ``A_apply``,
+    the masked operator, for the per-color residual updates.
     """
     mesh = V.mesh
     nV = V.ndof
@@ -431,17 +438,40 @@ def build_hybrid_preconditioner(
     dofs, mats = extract_blocks_from_local(
         A_loc_np, V.element_dofs, blocks, nV
     )
-    smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
 
     if a_pre == "auxspace":
         T, TT = hybrid_h1_embedding(V, dtype)
         coarse = _vector_p1_coarse(
             mesh, velocity_dirichlet, dtype, coefficient=coarse_coefficient
         )
+        coarse_fn = lambda r: T(coarse(TT(r)))
+    else:
+        coarse_fn = None
+
+    if gs:
+        from ..precond.multicolor import (
+            MulticolorGS,
+            color_blocks,
+            damped_coarse,
+            symmetric_gs_preconditioner,
+        )
+
+        assert A_apply is not None, "gs=True needs the masked operator"
+        colors = color_blocks(blocks, nV, V.element_dofs)
+        mgs = MulticolorGS(dofs, mats, colors, nV, dtype)
+        if coarse_fn is not None:
+            rng = np.random.default_rng(7)
+            example = jnp.asarray(rng.standard_normal(nV), dtype) * free
+            coarse_fn, _, _ = damped_coarse(coarse_fn, A_apply, example)
+        return symmetric_gs_preconditioner(mgs, A_apply, coarse_fn, free)
+
+    smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
+
+    if coarse_fn is not None:
 
         def preA(u):
             uf = jnp.where(free, u, 0.0)
-            y = smooth(uf) + T(coarse(TT(uf)))
+            y = smooth(uf) + coarse_fn(uf)
             return jnp.where(free, y, u)
 
     else:

@@ -256,33 +256,62 @@ def interpolate_hybrid_boundary_3d(
     return u
 
 
-def build_faceblock_preconditioner_3d(
-    V: HybridVelocitySpace3D, A_np: np.ndarray, dtype=jnp.float64
-):
-    """Disjoint per-face blocks (hdiv + facet dofs of the face) + per-cell
-    interior blocks; batched dense inverses."""
-    from ..precond.jacobi import block_jacobi, extract_blocks_from_local
+def hybrid_blocks_3d(V: HybridVelocitySpace3D, kind: str) -> list:
+    """Smoother block index sets for a 3D [H(div) | facet] space.
 
+    ``face``: disjoint per-face blocks (hdiv + facet dofs) + per-cell
+    interior blocks.  ``vertexstar``: overlapping vertex patches — all
+    face/facet dofs of faces containing the vertex plus interior dofs of
+    incident tets (the 3D counterpart of the 2D vertex-star patches that
+    carry the MCS preconditioner, models/stokes_hybrid.py)."""
     mesh = V.mesh
-    nV = V.ndof
-    free = jnp.asarray(V.free_mask)
     nfd_v, nfd_f = V.hdiv.n_face_dofs, V.facet.n_face
     nc_d = V.hdiv.bases[0].n_cell
     off_c = mesh.nface * nfd_v
-    fmask = V.free_mask
-    blocks = []
-    for f in range(mesh.nface):
-        blk = list(range(f * nfd_v, (f + 1) * nfd_v)) + list(
+    if kind == "face":
+        blocks = []
+        for f in range(mesh.nface):
+            blk = list(range(f * nfd_v, (f + 1) * nfd_v)) + list(
+                range(V.hdiv.ndof + f * nfd_f, V.hdiv.ndof + (f + 1) * nfd_f)
+            )
+            blocks.append(blk)
+        for e in range(mesh.ne):
+            blocks.append(
+                list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d))
+            )
+        return blocks
+    assert kind == "vertexstar"
+    vblocks: list[list[int]] = [[] for _ in range(mesh.nv)]
+    for f, verts in enumerate(mesh.faces.tolist()):
+        dofs_f = list(range(f * nfd_v, (f + 1) * nfd_v)) + list(
             range(V.hdiv.ndof + f * nfd_f, V.hdiv.ndof + (f + 1) * nfd_f)
         )
-        blocks.append(blk)
-    for e in range(mesh.ne):
-        blocks.append(list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d)))
-    blocks = [
-        np.asarray([d for d in blk if fmask[d]], np.int32) for blk in blocks
+        for v in verts:
+            vblocks[v].extend(dofs_f)
+    for e, verts in enumerate(mesh.elements.tolist()):
+        dofs_e = list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d))
+        for v in verts:
+            vblocks[v].extend(dofs_e)
+    return vblocks
+
+
+def build_faceblock_preconditioner_3d(
+    V: HybridVelocitySpace3D, A_np: np.ndarray, dtype=jnp.float64,
+    blocks: str = "face",
+):
+    """Additive block smoother over ``hybrid_blocks_3d`` patches; batched
+    dense inverses."""
+    from ..precond.jacobi import block_jacobi, extract_blocks_from_local
+
+    nV = V.ndof
+    free = jnp.asarray(V.free_mask)
+    fmask = V.free_mask
+    blks = [
+        np.asarray([d for d in blk if fmask[d]], np.int32)
+        for blk in hybrid_blocks_3d(V, blocks)
     ]
-    blocks = [b for b in blocks if len(b)]
-    dofs, mats = extract_blocks_from_local(A_np, V.element_dofs, blocks, nV)
+    blks = [b for b in blks if len(b)]
+    dofs, mats = extract_blocks_from_local(A_np, V.element_dofs, blks, nV)
     smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
 
     def preA(u):

@@ -31,10 +31,12 @@ def build_upwind_convection_3d(
 
     vol = tetrahedron_rule(3 * k)
     v_val, v_grad = V.tabulate_elements(vol.points)
-    val_p = np.einsum("ecA,eqiA->eqic", J, v_val, optimize=True) / detJ[:, None, None, None]
-    grad_p = np.einsum(
-        "ecA,eqiAB,eBd->eqicd", J, v_grad, Jinv
-    , optimize=True) / detJ[:, None, None, None, None]
+    # Piola value/gradient via batched 3x3 matmuls (generic einsum here
+    # dominated the 3D model setup cost)
+    val_p = np.matmul(v_val, J.transpose(0, 2, 1)[:, None]) / detJ[:, None, None, None]
+    grad_p = np.matmul(
+        J[:, None, None], np.matmul(v_grad, Jinv[:, None, None])
+    ) / detJ[:, None, None, None, None]
 
     fg = facet_geometry_3d(mesh, 2 * k + 2)
     nq2 = len(fg.qp)
@@ -47,24 +49,14 @@ def build_upwind_convection_3d(
 
     trace = np.zeros((2, nfacet, nq2, nb, 3))
     side_elem = np.zeros((2, nfacet), dtype=np.int64)
+    side_lf = np.zeros((2, nfacet), dtype=np.int64)
     has_right = np.zeros(nfacet, dtype=bool)
     n_g = np.zeros((nfacet, 3))
     area = np.zeros(nfacet)
-    # reference traces depend only on (combo, local face): cache the ~24
-    # distinct tabulations instead of tabulating per face-side
-    ref_tab: dict[tuple[int, int], np.ndarray] = {}
-
-    def ref_trace(cid: int, e: int, lf: int) -> np.ndarray:
-        key = (cid, lf)
-        if key not in ref_tab:
-            ref_tab[key] = V.bases[cid].tabulate(fg.ref_points[e, lf])[0]
-        return ref_tab[key]
-
     for f, pairs in enumerate(fe_pairs):
         for s, (e, lf) in enumerate(pairs):
-            vals = ref_trace(int(V.combo_ids[e]), e, lf)
-            trace[s, f] = np.einsum("cA,qiA->qic", J[e], vals, optimize=True) / detJ[e]
             side_elem[s, f] = e
+            side_lf[s, f] = lf
         e0, lf0 = pairs[0]
         n_g[f] = fg.normal[e0, lf0]
         area[f] = fg.area[e0, lf0]
@@ -72,6 +64,29 @@ def build_upwind_convection_3d(
             has_right[f] = True
         else:
             side_elem[1, f] = side_elem[0, f]
+            side_lf[1, f] = side_lf[0, f]
+
+    # physical traces, grouped by (combo, local face): ~24 distinct
+    # reference tabulations, each pushed through its group's Piola maps as
+    # one batched matmul (the per-facet einsum loop was a setup hotspot)
+    ref_tab: dict[tuple[int, int], np.ndarray] = {}
+    for s in (0, 1):
+        els, lfs = side_elem[s], side_lf[s]
+        cids = V.combo_ids[els]
+        for cid in range(len(V.bases)):
+            for lf in range(4):
+                sel = np.where((cids == cid) & (lfs == lf))[0]
+                if not len(sel):
+                    continue
+                key = (cid, lf)
+                if key not in ref_tab:
+                    ref_tab[key] = V.bases[cid].tabulate(
+                        fg.ref_points[els[sel[0]], lf]
+                    )[0]  # (nq2, nb, 3)
+                eg = els[sel]
+                trace[s, sel] = np.matmul(
+                    ref_tab[key][None], J[eg].transpose(0, 2, 1)[:, None]
+                ) / detJ[eg, None, None, None]
 
     # boundary data at global-frame face quad points
     pts_f = np.zeros((nfacet, nq2, 3))

@@ -34,12 +34,24 @@ def _tadd(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
-def bp_scale_factor(A, preA, example_u, lanczos_iterations: int = 40, key=None):
-    """k = 1/lambda_min(preA A) + 1e-3 and the condition estimate
-    (bramble_pasciak_cg.py:70-74)."""
+def bp_scale_factor(A, preA, example_u, lanczos_iterations: int = 40, key=None,
+                    safety: float = 0.2):
+    """k = (1+safety)/lambda_min(preA A) + 1e-3 and the condition estimate
+    (bramble_pasciak_cg.py:70-74).
+
+    The reference uses the bare ``1/lambda_min + 1e-3`` — safe there because
+    NGSolve's EigenValues_Preconditioner iterates to tolerance.  Our
+    fixed-iteration Lanczos can OVERestimate lambda_min by a few percent
+    (Ritz values converge from above); any overestimate makes the
+    Bramble-Pasciak inner-product matrix A - k^{-1}... indefinite and the
+    iteration visibly stalls (observed on the 3D MCS skeleton
+    preconditioner: stall at 4e-3 with +1e-3, clean convergence with a 10%
+    multiplicative margin).  The extra margin costs only a few iterations
+    (measured 221 -> 231 between 1.1x and 1.3x), so 1.2x is cheap
+    insurance."""
     lams = lanczos_eigenvalues(A, preA, example_u, lanczos_iterations, key)
     lmin, lmax = jnp.min(lams), jnp.max(lams)
-    k = 1.0 / lmin + 1e-3
+    k = (1.0 + safety) / lmin + 1e-3
     return k, lmax / lmin
 
 

@@ -98,3 +98,20 @@ def test_mcs_ns_stress_reconstruction(ns_channel):
     sw = ns.reconstruct_stress()
     assert sw.shape == (ns.mesh.ne, ns.sigma_basis.n_basis + ns.Wspace.basis.n_basis)
     assert np.all(np.isfinite(sw))
+
+
+def test_mcs_ns_gauss_seidel_reduces_iterations():
+    """GS=True (symmetric multi-color block-GS, reference MypreA.Mult
+    :375-381) must actually change the preconditioner and cut the BPCG
+    iteration count vs the additive variant (the reference's sweep shows
+    GS materially better) — VERDICT.md round-2 item 3."""
+    mesh = channel_with_cylinder_mesh(0.15)
+    ns = NavierStokesMCS(
+        mesh, nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
+        uin=uin, timestep=1e-3, order=2,
+    )
+    ns.SolveInitial(iterative=True, GS=False, tol=1e-9, maxsteps=20000)
+    its_add = ns.stokes_bpcg_iterations
+    ns.SolveInitial(iterative=True, GS=True, tol=1e-9, maxsteps=20000)
+    its_gs = ns.stokes_bpcg_iterations
+    assert its_gs < 0.75 * its_add, (its_gs, its_add)
