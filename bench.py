@@ -1,13 +1,16 @@
-"""Benchmark: NS initial Stokes solve to f64 relative residual 1e-8.
+"""Benchmark: 3D MCS Navier-Stokes initial Stokes solve to f64 rel residual 1e-8.
 
 The BASELINE.json north-star metric (wall-clock + Krylov iterations/sec at
-matched residual 1e-8) on the flagship channel-with-cylinder model, solved
-the TPU-native way: mixed-precision iterative refinement — float32
-Bramble-Pasciak CG inner solves with the two-level additive-Schwarz
-preconditioner, float64 outer residuals (TPU v5e emulates f64 ~15x slower,
-so refinement replaces one emulated-f64 solve with two to three native-f32
-solves).  The identical algorithm runs on the JAX-CPU backend as the
-baseline.
+matched residual 1e-8 on the 3D SIMPLE benchmark) measured on the FLAGSHIP
+model: NavierStokesMCS on the reference's 3D channel-with-cylinder geometry
+(/root/reference/templates/NavierStokesSIMPLE_test_3D.py:8-25), BDM_2
+H(div) x tangential facet x H(curl,div) stress with batched static
+condensation, solved the TPU-native way — mixed-precision iterative
+refinement: float32 Bramble-Pasciak CG inner solves with the
+skeleton/edge-star auxiliary-space preconditioner, float64 outer residuals
+(TPU v5e emulates f64 ~15x slower, so refinement replaces one emulated-f64
+solve with two to three native-f32 solves).  The identical jitted program
+runs on the JAX-CPU backend as the baseline.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -38,8 +41,9 @@ except Exception:
 import jax.numpy as jnp
 import numpy as np
 
-MAXH = 0.015
+MAXH = 0.09  # 243k velocity dofs + 31k pressure (compute-bound regime)
 TOL = 1e-8
+H = 0.41
 
 
 def log(*a):
@@ -47,17 +51,17 @@ def log(*a):
 
 
 def uin(p):
-    out = np.zeros((len(p), 2))
-    out[:, 0] = 1.5 * 4 * p[:, 1] * (0.41 - p[:, 1]) / 0.41**2
+    out = np.zeros((len(p), 3))
+    out[:, 0] = 16 * p[:, 1] * (H - p[:, 1]) * p[:, 2] * (H - p[:, 2]) / H**4
     return out
 
 
 def build(mesh, dtype, preconditioner):
-    from navier_stokes_tpu.models.navier_stokes import NavierStokes
+    from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
 
-    return NavierStokes(
+    return NavierStokesMCS(
         mesh, nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
-        uin=uin, timestep=1e-3, order=2, dtype=dtype,
+        uin=uin, timestep=2e-3, order=2, dtype=dtype,
         preconditioner=preconditioner,
     )
 
@@ -73,24 +77,24 @@ def measure(device, mesh):
         "highest" if device.platform == "tpu" else None,
     )
     with jax.default_device(device):
-        m64 = build(mesh, jnp.float64, "jacobi")  # only A/B/BT used in f64
-        m32 = build(mesh, jnp.float32, "twolevel")
+        t0 = time.perf_counter()
+        m64 = build(mesh, jnp.float64, "faceblock")  # only A/B/BT used
+        m32 = build(mesh, jnp.float32, "auxspace")
         ops64 = dict(A=m64.A, B=m64.B, BT=m64.BT)
         ops32 = dict(A=m32.A, B=m32.B, BT=m32.BT, preA=m32.preA,
                      preM=m32.preM)
-        f_mod = jnp.where(
-            m64.free_s[None], m64.f - m64._stokesA_raw(m64.u_bc), 0.0
-        ).reshape(-1)
-        g_mod = -m64.B_raw(m64.u_bc.reshape(-1))
+        f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
+        g_mod = -m64.B_raw(m64.u_bc)
+        log(f"{device.platform} setup {time.perf_counter() - t0:.1f}s "
+            f"ndof={m64.n}+{m64.Q.ndof}")
 
-        # identical jitted program on both devices (in-jit Lanczos scaling):
-        # a same-code comparison.  (A CPU-tuned variant without the
-        # HIGHEST-precision Lanczos reaches ~6.5s; see NOTES_r1.md.)
+        # the f32 Bramble-Pasciak floor of the condensed MCS operator is
+        # ~1e-5 (NOTES_r1.md): inner_tol 1e-4 gains ~4 digits per pass
         @jax.jit
         def solve():
             return mixed_precision_saddle_solve(
-                ops64, ops32, f_mod, g_mod, tol=TOL, inner_tol=2e-6,
-                inner_maxsteps=1500,
+                ops64, ops32, f_mod, g_mod, tol=TOL, inner_tol=1e-4,
+                inner_maxsteps=4000,
             )
 
         x, r, steps, inner = solve()  # compile + warmup
@@ -109,12 +113,12 @@ def measure(device, mesh):
 
 
 def main():
-    from navier_stokes_tpu.mesh import channel_with_cylinder_mesh
+    from navier_stokes_tpu.mesh import channel_with_cylinder_mesh_3d
 
-    mesh = channel_with_cylinder_mesh(MAXH)
+    mesh = channel_with_cylinder_mesh_3d(MAXH)
     devices = jax.devices()
     main_dev = devices[0]
-    log(f"benchmark device: {main_dev}, maxh={MAXH} ({mesh.ne} elements), tol={TOL}")
+    log(f"benchmark device: {main_dev}, maxh={MAXH} ({mesh.ne} tets), tol={TOL}")
 
     try:
         inner, t_main = measure(main_dev, mesh)
@@ -144,12 +148,12 @@ def main():
             log("cpu baseline failed:", repr(e))
 
     print(json.dumps({
-        "metric": "ns_initial_stokes_to_residual_1e-8",
+        "metric": "mcs3d_initial_stokes_to_residual_1e-8",
         "value": round(ips, 2),
         "unit": (
-            f"inner BPCG iterations/sec (f32+f64 refinement), channel "
-            f"maxh={MAXH}, wall={t_main:.3f}s to f64 rel residual {TOL} "
-            f"on {main_dev.platform}"
+            f"inner BPCG iterations/sec (f32+f64 refinement), 3D MCS "
+            f"channel maxh={MAXH}, wall={t_main:.3f}s to f64 rel residual "
+            f"{TOL} on {main_dev.platform}"
         ),
         "vs_baseline": round(vs_baseline, 3),
     }))

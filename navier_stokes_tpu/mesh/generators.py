@@ -262,18 +262,54 @@ def channel_with_cylinder_mesh(
     )
     pts = np.concatenate([grid[keep], ring_pts], axis=0)
 
-    tri = Delaunay(pts)
-    els = tri.simplices
-    cent = pts[els].mean(axis=1)
-    d_cent = np.hypot(cent[:, 0] - cx, cent[:, 1] - cy)
-    els = els[d_cent > r * (1.0 - 1e-12)]
-    # drop degenerate slivers
-    v = pts[els]
-    area2 = np.abs(
-        (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
-        - (v[:, 2, 0] - v[:, 0, 0]) * (v[:, 1, 1] - v[:, 0, 1])
+    def triangulate(p):
+        els = Delaunay(p).simplices
+        cent = p[els].mean(axis=1)
+        d_cent = np.hypot(cent[:, 0] - cx, cent[:, 1] - cy)
+        els = els[d_cent > r * (1.0 - 1e-12)]
+        v = p[els]
+        area2 = np.abs(
+            (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+            - (v[:, 2, 0] - v[:, 0, 0]) * (v[:, 1, 1] - v[:, 0, 1])
+        )
+        return els[area2 > 1e-10 * maxh * maxh]
+
+    # points that must not move: rectangle boundary + the circle ring
+    d_pts = np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
+    fixed = (
+        (np.abs(pts[:, 0]) < _TOL)
+        | (np.abs(pts[:, 0] - length) < _TOL)
+        | (np.abs(pts[:, 1]) < _TOL)
+        | (np.abs(pts[:, 1] - height) < _TOL)
+        | (np.abs(d_pts - r) < 1e-9 * (1 + r))
     )
-    els = els[area2 > 1e-10 * maxh * maxh]
+
+    els = triangulate(pts)
+    # Laplacian smoothing + re-Delaunay rounds: the raw ring-to-grid
+    # transition band can contain near-degenerate slivers at coarse maxh
+    # (observed aspect ~1800 at maxh=0.2), which poison both the element
+    # conditioning and the f32 solver floor; a few smoothing rounds bring
+    # the worst aspect down to O(5).
+    for _ in range(4):
+        nbr_sum = np.zeros_like(pts)
+        nbr_cnt = np.zeros(len(pts))
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            np.add.at(nbr_sum, els[:, a], pts[els[:, b]])
+            np.add.at(nbr_cnt, els[:, a], 1.0)
+            np.add.at(nbr_sum, els[:, b], pts[els[:, a]])
+            np.add.at(nbr_cnt, els[:, b], 1.0)
+        new = nbr_sum / np.maximum(nbr_cnt, 1.0)[:, None]
+        pts = np.where(fixed[:, None], pts, new)
+        # keep smoothed points out of the hole
+        d_new = np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
+        bad = (~fixed) & (d_new < r + 0.3 * h_cyl)
+        if bad.any():
+            scale = (r + 0.3 * h_cyl) / np.maximum(d_new[bad], 1e-12)
+            pts[bad] = np.stack(
+                [cx + (pts[bad, 0] - cx) * scale,
+                 cy + (pts[bad, 1] - cy) * scale], axis=1
+            )
+        els = triangulate(pts)
 
     # drop unused points and remap
     used = np.unique(els)

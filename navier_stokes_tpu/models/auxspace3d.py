@@ -193,6 +193,7 @@ def _edge_star_skeleton_blocks(V) -> list[np.ndarray]:
 def build_skeleton_preconditioner_3d(
     V, A_np, velocity_dirichlet: str, dtype=jnp.float64,
     coarse_coefficient: float = 1.0, gs: bool = False,
+    dof_scale: np.ndarray | None = None,
 ):
     """Condensation-aware preconditioner for the 3D condensed MCS/HDG
     operator: exact batched solve of the element-interior block, an
@@ -251,9 +252,20 @@ def build_skeleton_preconditioner_3d(
     solve1 = coarse_p1_solver(space, coarse_coefficient, dtype)
     nv = mesh.nv
 
-    def coarse(r):
-        r3 = TT(r).reshape(3, nv)
-        return T(jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1))
+    if dof_scale is None:
+        def coarse(r):
+            r3 = TT(r).reshape(3, nv)
+            return T(jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1))
+    else:
+        # equilibrated system A~ = D A D: the aux-space transfer becomes
+        # D^{-1} T (the correction must approximate A~^{-1} = D^{-1} A^{-1}
+        # D^{-1} on coarse modes)
+        Dinv = jnp.asarray(1.0 / dof_scale, dtype)
+
+        def coarse(r):
+            r3 = TT(Dinv * r).reshape(3, nv)
+            c = T(jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1))
+            return Dinv * c
 
     eldofs_skel_j = jnp.asarray(eldofs_skel)
     int_dofs_j = jnp.asarray(int_dofs)

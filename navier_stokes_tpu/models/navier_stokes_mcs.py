@@ -469,13 +469,12 @@ class NavierStokesMCS:
         self.B, self.B_raw, self.BT = B, B_raw, BT
         self._mass_raw = mass_raw
 
-        # preconditioners: the additive variant (GS=False) is the default;
-        # SolveInitial(GS=True) swaps in the symmetric multi-color
-        # block-Gauss-Seidel variant (reference MypreA.Mult :375-381),
-        # built lazily from the same blocks via _preA_for.
+        # preconditioners: built lazily via _preA_for — the additive variant
+        # (GS=False) by default; SolveInitial(GS=True) swaps in the
+        # symmetric multi-color block-Gauss-Seidel variant (reference
+        # MypreA.Mult :375-381) built from the same blocks.
         self._dirich = dirich
         self._preA_cache: dict[bool, object] = {}
-        self.preA = self._preA_for(GS=False)
         diag_m = asm.diagonal_of_local(
             self._M_loc + timestep * A_cond, eldofs, n
         )
@@ -483,6 +482,7 @@ class NavierStokesMCS:
         self.preMstar = lambda u: jnp.where(free, u / diag_m, u)
         tq = asm.make_tables(self.Q, 2 * max(self.Q.order, 1), dtype)
         diag_Mp = asm.diagonal_of_local(asm.mass_local(tq), tq.eldofs, self.Q.ndof)
+        self._diag_Mp = diag_Mp
         if not outflow:
             # enclosed flow: deflate the constant-pressure nullspace
             def demean(p):
@@ -513,20 +513,11 @@ class NavierStokesMCS:
 
         self._Mv = Mv
 
-        # convection (upwind DG on the H(div) block)
+        # convection (upwind DG on the H(div) block): built lazily — its
+        # per-element trace tables are the largest setup artifact and the
+        # steady SolveInitial path never touches them
         self._uin_np = self._wrap_uin(uin)
-        if mesh.dim == 2:
-            conv_v = build_upwind_convection(self.V, self._uin_np, dtype=dtype)
-        else:
-            conv_v = build_upwind_convection_3d(
-                self.V, self._uin_np, dtype=dtype
-            )
-
-        def convection(u):
-            cu = conv_v(u[:nbv_total])
-            return jnp.concatenate([cu, jnp.zeros(n - nbv_total, u.dtype)])
-
-        self.convection = convection
+        self._conv_v = None
 
         # rhs + state
         self.f = jnp.zeros(n, dtype)
@@ -546,6 +537,20 @@ class NavierStokesMCS:
         self._mass_chebyshev()  # eager: its Lanczos bound needs concrete values
 
     # ------------------------------------------------------------------
+
+    def convection(self, u):
+        if self._conv_v is None:
+            if self.mesh.dim == 2:
+                self._conv_v = build_upwind_convection(
+                    self.V, self._uin_np, dtype=self.dtype
+                )
+            else:
+                self._conv_v = build_upwind_convection_3d(
+                    self.V, self._uin_np, dtype=self.dtype
+                )
+        nbv_total = self.V.ndof
+        cu = self._conv_v(u[:nbv_total])
+        return jnp.concatenate([cu, jnp.zeros(self.n - nbv_total, u.dtype)])
 
     def _wrap_uin(self, uin):
         dim = self.mesh.dim
@@ -604,6 +609,10 @@ class NavierStokesMCS:
         out = np.zeros(self.n)
         np.add.at(out, self.Xv.element_dofs.ravel(), fe.ravel())
         return out
+
+    @property
+    def preA(self):
+        return self._preA_for(GS=False)
 
     def _preA_for(self, GS: bool):
         """Additive (GS=False) or symmetric multi-color block-GS (GS=True)

@@ -134,6 +134,7 @@ def bramble_pasciak_cg_opt(
     A, B, BT, preA, preM, f, g, sol=None,
     tol: float = 1e-6, maxsteps: int = 100, rel_err: bool = True,
     scale_k=None, lanczos_iterations: int = 40,
+    accum_dtype=None,
 ) -> SolverResult:
     """Optimized BPCG (one A/preA/B/BT/preM apply per iteration).
 
@@ -141,10 +142,23 @@ def bramble_pasciak_cg_opt(
     /root/reference/solvers/bramblepasciak_new.py:24-253 without static
     condensation (harmonic extension degenerates to preA itself when the
     bilinear form is not condensed, bramblepasciak_new.py:19-21).
+
+    ``accum_dtype``: optional wider dtype (jnp.float64) for the two global
+    inner products per iteration — the dominant rounding source of f32
+    Krylov loops; O(n) extra emulated-f64 work per iteration against the
+    O(n * block^2) matvecs (VERDICT.md round-2 item 8).
     """
     if scale_k is None:
         scale_k, _ = bp_scale_factor(A, preA, f, lanczos_iterations)
     preAs = lambda u: tscale(scale_k, preA(u))
+    if accum_dtype is not None:
+        def tdot_acc(x, y):
+            return tdot(
+                jax.tree_util.tree_map(lambda v: v.astype(accum_dtype), x),
+                jax.tree_util.tree_map(lambda v: v.astype(accum_dtype), y),
+            )
+    else:
+        tdot_acc = tdot
 
     # rhs transform: f_new = A preA f - f ; g_new = B preA f - g
     tmp0 = preAs(f)
@@ -167,8 +181,9 @@ def bramble_pasciak_cg_opt(
     pr1 = preM(tsub(B(pr0), g))
     w = (tsub(pr0, t1), tsub(pr1, preM(t3)))
 
-    wdn = tdot(w, d)
-    dtype = wdn.dtype
+    wdn = tdot_acc(w, d)
+    dtype = wdn.dtype  # accumulation dtype (= vector dtype unless widened)
+    vdt = jax.tree_util.tree_leaves(f)[0].dtype
     err0 = jnp.sqrt(jnp.abs(wdn))
     errors = jnp.full(maxsteps + 1, jnp.nan, dtype)
     s = w
@@ -182,7 +197,7 @@ def bramble_pasciak_cg_opt(
     state = dict(
         u=u, d=d, w=w, s=s, wdn=wdn, matA_s=matA_s, z0=z0,
         z_old=tzeros_like(z0), tmp2=tzeros_like(z0),
-        alpha=jnp.zeros((), dtype), beta=jnp.zeros((), dtype),
+        alpha=jnp.zeros((), vdt), beta=jnp.zeros((), vdt),
         it=jnp.zeros((), jnp.int32), errors=errors,
         done=jnp.zeros((), bool),
     )
@@ -209,16 +224,16 @@ def bramble_pasciak_cg_opt(
         v = (tsub(t2, t0), t3)
 
         wd = st["wdn"]
-        as_s = tdot(s, v)
-        alpha = wd / as_s
+        as_s = tdot_acc(s, v)
+        alpha = (wd / as_s).astype(vdt)
         u = taxpy(alpha, s, st["u"])
         d = taxpy(-alpha, v, st["d"])
         w = (
             taxpy(-alpha, t1, st["w"][0]),
             taxpy(-alpha, preM(t3), st["w"][1]),
         )
-        wdn = tdot(w, d)
-        beta = wdn / wd
+        wdn = tdot_acc(w, d)
+        beta = (wdn / wd).astype(vdt)
         z0 = taxpy(-alpha, t2, st["z0"])
         s = _tadd(tscale(beta, s), w)
 

@@ -96,6 +96,143 @@ def mixed_precision_saddle_solve(
     return x, r, steps, inner_total
 
 
+def equilibrated_f32_ops(m, gs: bool = False):
+    """Jacobi-equilibrated float32 operator bundle for a 3D MCS model.
+
+    The condensed MCS matrix on sliver-heavy meshes spans a dynamic range
+    far beyond float32 (measured 1.5e16 on the extruded 3D channel —
+    element aspect ratios up to ~400 near the cylinder), so a straight f32
+    cast of the operator destroys the Bramble-Pasciak iteration: its
+    internal error measure keeps decreasing while the true residual
+    diverges.  Symmetric diagonal (Jacobi) equilibration A~ = D A D with
+    D = diag(A)^{-1/2} brings the range to O(kappa_local) and restores the
+    ~1e-4 f32 true-residual floor.
+
+    Returns (ops32, D): ops32 = dict(A, B, BT, preA, preM) acting on the
+    SCALED velocity variables u~ = D^{-1} u (pressure unscaled), and D as
+    a float64 jnp vector.  Residual mapping for refinement: r~0 = D r0,
+    r~1 = r1; solution mapping dx0 = D dx~0.
+    """
+    import numpy as np
+
+    from ..models.auxspace3d import build_skeleton_preconditioner_3d
+    from ..ops import assembly as asm
+
+    A_loc = m.A_cond_np
+    eldofs = np.asarray(m.Xv.element_dofs)
+    d = np.zeros(m.n)
+    np.add.at(d, eldofs.ravel(), np.einsum("eii->ei", A_loc).ravel())
+    free = np.asarray(m.free)
+    D = np.ones(m.n)
+    D[free] = 1.0 / np.sqrt(np.maximum(np.abs(d[free]), 1e-300))
+    De = D[eldofs]
+    A_s = A_loc * De[:, :, None] * De[:, None, :]
+    B_s = np.asarray(m._B_loc) * De[:, None, :]
+
+    f32 = jnp.float32
+    A_sj = jnp.asarray(A_s, f32)
+    B_sj = jnp.asarray(B_s, f32)
+    eldofs_j = jnp.asarray(eldofs)
+    eldofs_p = jnp.asarray(m.Q.element_dofs)
+    free_j = jnp.asarray(free)
+    n, nQ = m.n, m.Q.ndof
+
+    def A32(u):
+        uf = jnp.where(free_j, u, 0.0)
+        y = asm.apply_local_matrices(A_sj, eldofs_j, n, uf)
+        return jnp.where(free_j, y, u)
+
+    def B32(u):
+        ue = jnp.where(free_j, u, 0.0)[eldofs_j]
+        pe = jnp.einsum("epi,ei->ep", B_sj, ue)
+        return asm.scatter_add(pe, eldofs_p, nQ)
+
+    def BT32(p):
+        pe = p[eldofs_p]
+        ue = jnp.einsum("epi,ep->ei", B_sj, pe)
+        return jnp.where(free_j, asm.scatter_add(ue, eldofs_j, n), 0.0)
+
+    preA32 = build_skeleton_preconditioner_3d(
+        m.Xv, A_s, m._dirich, f32, coarse_coefficient=m.nu, gs=gs,
+        dof_scale=D,
+    )
+    diag_Mp32 = jnp.asarray(m._diag_Mp, f32)
+    nu32 = jnp.asarray(m.nu, f32)
+    preM32 = lambda p: nu32 * p / diag_Mp32
+
+    ops32 = dict(A=A32, B=B32, BT=BT32, preA=preA32, preM=preM32)
+    return ops32, jnp.asarray(D)
+
+
+def mixed_precision_saddle_solve_scaled(
+    ops64: dict,
+    ops32: dict,
+    D,
+    f,
+    g,
+    tol: float = 1e-8,
+    inner_tol: float = 1e-4,
+    inner_maxsteps: int = 4000,
+    max_refine: int = 8,
+    scale_k: float | None = None,
+):
+    """``mixed_precision_saddle_solve`` for a Jacobi-equilibrated f32 inner
+    system (see ``equilibrated_f32_ops``): inner rhs (D r0, r1), inner
+    solution mapped back by D."""
+    if scale_k is None:
+        from .bpcg import bp_scale_factor
+
+        scale_k, _ = bp_scale_factor(
+            ops32["A"], ops32["preA"], (D * f).astype(jnp.float32)
+        )
+    scale_k = jnp.asarray(scale_k, jnp.float32)
+
+    A64, B64, BT64 = ops64["A"], ops64["B"], ops64["BT"]
+    rhs_norm = jnp.sqrt(jnp.vdot(f, f) + jnp.vdot(g, g))
+
+    def residual(x):
+        r0 = f - A64(x[0]) - BT64(x[1])
+        r1 = g - B64(x[0])
+        return r0, r1
+
+    def rel(r0, r1):
+        return jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1)) / rhs_norm
+
+    def body(carry):
+        x, r_old, steps, inner_total, _ = carry
+        r0, r1 = residual(x)
+        res = bramble_pasciak_cg_opt(
+            ops32["A"], ops32["B"], ops32["BT"], ops32["preA"], ops32["preM"],
+            (D * r0).astype(jnp.float32), r1.astype(jnp.float32),
+            tol=inner_tol, maxsteps=inner_maxsteps, scale_k=scale_k,
+        )
+        x_new = (
+            x[0] + D * res.x[0].astype(jnp.float64),
+            x[1] + res.x[1].astype(jnp.float64),
+        )
+        r0n, r1n = residual(x_new)
+        r_new = rel(r0n, r1n)
+        improved = r_new < r_old
+        x = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(improved, new, old), x_new, x
+        )
+        r = jnp.where(improved, r_new, r_old)
+        return x, r, steps + 1, inner_total + res.iterations, ~improved
+
+    def cond(carry):
+        _, r, steps, _, stalled = carry
+        return (r > tol) & (steps < max_refine) & jnp.logical_not(stalled)
+
+    x0 = (jnp.zeros_like(f), jnp.zeros_like(g))
+    r0, r1 = residual(x0)
+    init = (
+        x0, rel(r0, r1), jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+    )
+    x, r, steps, inner_total, _ = jax.lax.while_loop(cond, body, init)
+    return x, r, steps, inner_total
+
+
 def solve_initial_refined(
     model64,
     model32,
