@@ -67,7 +67,10 @@ def build(mesh, dtype, preconditioner):
 
 
 def measure(device, mesh):
-    from navier_stokes_tpu.solvers import mixed_precision_saddle_solve
+    from navier_stokes_tpu.solvers import (
+        equilibrated_f32_ops,
+        mixed_precision_saddle_solve_scaled,
+    )
 
     # TPU f32 matmuls default to bf16 multiplication: the Krylov machinery
     # needs true f32 there.  On CPU 'highest' forces slow emulated paths for
@@ -79,23 +82,28 @@ def measure(device, mesh):
     with jax.default_device(device):
         t0 = time.perf_counter()
         m64 = build(mesh, jnp.float64, "faceblock")  # only A/B/BT used
-        m32 = build(mesh, jnp.float32, "auxspace")
         ops64 = dict(A=m64.A, B=m64.B, BT=m64.BT)
-        ops32 = dict(A=m32.A, B=m32.B, BT=m32.BT, preA=m32.preA,
-                     preM=m32.preM)
+        # Jacobi-equilibrated f32 inner system: the condensed matrix's
+        # diagonal spans ~1e12 at this mesh (element anisotropy), beyond
+        # a bare f32 cast
+        ops32, D = equilibrated_f32_ops(m64, gs=False)
         f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
         g_mod = -m64.B_raw(m64.u_bc)
         log(f"{device.platform} setup {time.perf_counter() - t0:.1f}s "
             f"ndof={m64.n}+{m64.Q.ndof}")
 
         # the f32 Bramble-Pasciak floor of the condensed MCS operator is
-        # ~1e-5 (NOTES_r1.md): inner_tol 1e-4 gains ~4 digits per pass
-        @jax.jit
-        def solve():
-            return mixed_precision_saddle_solve(
-                ops64, ops32, f_mod, g_mod, tol=TOL, inner_tol=1e-4,
+        # ~1e-5 (NOTES_r1.md): inner_tol 1e-4 gains ~4 digits per pass.
+        # hoisted_jit: operator tables travel as runtime buffers, not
+        # constants baked into the remote-compile payload
+        from navier_stokes_tpu.utils.jaxtools import hoisted_jit
+
+        solve = hoisted_jit(
+            lambda: mixed_precision_saddle_solve_scaled(
+                ops64, ops32, D, f_mod, g_mod, tol=TOL, inner_tol=1e-4,
                 inner_maxsteps=4000,
             )
+        )
 
         x, r, steps, inner = solve()  # compile + warmup
         jax.block_until_ready(x)

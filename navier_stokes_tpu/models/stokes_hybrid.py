@@ -363,6 +363,45 @@ def _vector_p1_coarse(mesh, dirichlet: str, dtype=jnp.float64,
     return solve
 
 
+def hybrid_blocks(V: HybridVelocitySpace, kind: str) -> list[np.ndarray]:
+    """Smoother block index sets (free dofs only) for a 2D [HDiv | facet]
+    space: ``edgeblock`` = disjoint per-edge + per-cell blocks,
+    otherwise overlapping vertex-star patches (all hdiv+facet dofs of
+    edges incident to the vertex plus interior dofs of touching
+    elements)."""
+    mesh = V.mesh
+    ne_d, nf_d = V.hdiv.basis.n_edge, V.facet.n_edge
+    nc_d = V.hdiv.basis.n_cell
+    off_c = mesh.nedge * ne_d
+    fmask = V.free_mask
+    blocks: list = []
+    if kind == "edgeblock":
+        for f in range(mesh.nedge):
+            blk = list(range(f * ne_d, (f + 1) * ne_d)) + list(
+                range(V.hdiv.ndof + f * nf_d, V.hdiv.ndof + (f + 1) * nf_d)
+            )
+            blocks.append(blk)
+        for e in range(mesh.ne):
+            blocks.append(list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d)))
+    else:
+        vblocks: list[list[int]] = [[] for _ in range(mesh.nv)]
+        for f, (a, b) in enumerate(mesh.edges.tolist()):
+            dofs_f = list(range(f * ne_d, (f + 1) * ne_d)) + list(
+                range(V.hdiv.ndof + f * nf_d, V.hdiv.ndof + (f + 1) * nf_d)
+            )
+            vblocks[a].extend(dofs_f)
+            vblocks[b].extend(dofs_f)
+        for e, verts in enumerate(mesh.elements.tolist()):
+            dofs_e = list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d))
+            for v in verts:
+                vblocks[v].extend(dofs_e)
+        blocks = vblocks
+    blocks = [
+        np.asarray([d for d in blk if fmask[d]], np.int32) for blk in blocks
+    ]
+    return [b for b in blocks if len(b)]
+
+
 def build_hybrid_preconditioner(
     V: HybridVelocitySpace,
     A_loc_np: np.ndarray,
@@ -403,38 +442,7 @@ def build_hybrid_preconditioner(
 
     from ..precond.jacobi import block_jacobi, extract_blocks_from_local
 
-    ne_d, nf_d = V.hdiv.basis.n_edge, V.facet.n_edge
-    nc_d = V.hdiv.basis.n_cell
-    off_c = mesh.nedge * ne_d
-    fmask = V.free_mask
-    blocks = []
-    if a_pre == "edgeblock":
-        for f in range(mesh.nedge):
-            blk = list(range(f * ne_d, (f + 1) * ne_d)) + list(
-                range(V.hdiv.ndof + f * nf_d, V.hdiv.ndof + (f + 1) * nf_d)
-            )
-            blocks.append(blk)
-        for e in range(mesh.ne):
-            blocks.append(list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d)))
-    else:
-        # overlapping vertex-star patches: all hdiv+facet dofs of edges
-        # incident to the vertex plus interior dofs of touching elements
-        vblocks: list[list[int]] = [[] for _ in range(mesh.nv)]
-        for f, (a, b) in enumerate(mesh.edges.tolist()):
-            dofs_f = list(range(f * ne_d, (f + 1) * ne_d)) + list(
-                range(V.hdiv.ndof + f * nf_d, V.hdiv.ndof + (f + 1) * nf_d)
-            )
-            vblocks[a].extend(dofs_f)
-            vblocks[b].extend(dofs_f)
-        for e, verts in enumerate(mesh.elements.tolist()):
-            dofs_e = list(range(off_c + e * nc_d, off_c + (e + 1) * nc_d))
-            for v in verts:
-                vblocks[v].extend(dofs_e)
-        blocks = vblocks
-    blocks = [
-        np.asarray([d for d in blk if fmask[d]], np.int32) for blk in blocks
-    ]
-    blocks = [b for b in blocks if len(b)]
+    blocks = hybrid_blocks(V, a_pre)
     dofs, mats = extract_blocks_from_local(
         A_loc_np, V.element_dofs, blocks, nV
     )

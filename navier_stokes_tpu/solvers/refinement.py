@@ -233,6 +233,83 @@ def mixed_precision_saddle_solve_scaled(
     return x, r, steps, inner_total
 
 
+def mixed_precision_minres_refinement(
+    ops64: dict,
+    ops32: dict,
+    D,
+    f,
+    g,
+    tol: float = 1e-8,
+    inner_maxsteps: int = 800,
+    inner_tol: float = 1e-5,
+    max_refine: int = 8,
+):
+    """Refinement with float32 MINRES inner solves on the equilibrated
+    saddle system.
+
+    The Bramble-Pasciak transform computes (A preA - I)-type differences;
+    with an effective preconditioner those cancel catastrophically in
+    float32 (measured: internal BPCG error 1e-4 while the true residual
+    DIVERGES on the 3D channel).  Preconditioned MINRES on the block system
+    [[A, B^T], [B, 0]] with the block-diagonal preconditioner
+    [[preA, 0], [0, preM]] has no such cancellation: the f32 true-residual
+    floor per solve is ~1e-3 and stable (no drift), so three to four
+    refinement passes reach 1e-8.
+    """
+    from .minres import minres
+
+    A64, B64, BT64 = ops64["A"], ops64["B"], ops64["BT"]
+    rhs_norm = jnp.sqrt(jnp.vdot(f, f) + jnp.vdot(g, g))
+
+    def K32(x):
+        u, p = x
+        return (ops32["A"](u) + ops32["BT"](p), ops32["B"](u))
+
+    def pre32(x):
+        return (ops32["preA"](x[0]), ops32["preM"](x[1]))
+
+    def residual(x):
+        r0 = f - A64(x[0]) - BT64(x[1])
+        r1 = g - B64(x[0])
+        return r0, r1
+
+    def rel(r0, r1):
+        return jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1)) / rhs_norm
+
+    def body(carry):
+        x, r_old, steps, inner_total, _ = carry
+        r0, r1 = residual(x)
+        res = minres(
+            K32, ((D * r0).astype(jnp.float32), r1.astype(jnp.float32)),
+            pre=pre32, tol=inner_tol, maxsteps=inner_maxsteps,
+        )
+        x_new = (
+            x[0] + D * res.x[0].astype(jnp.float64),
+            x[1] + res.x[1].astype(jnp.float64),
+        )
+        r0n, r1n = residual(x_new)
+        r_new = rel(r0n, r1n)
+        improved = r_new < r_old
+        x = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(improved, new, old), x_new, x
+        )
+        r = jnp.where(improved, r_new, r_old)
+        return x, r, steps + 1, inner_total + res.iterations, ~improved
+
+    def cond(carry):
+        _, r, steps, _, stalled = carry
+        return (r > tol) & (steps < max_refine) & jnp.logical_not(stalled)
+
+    x0 = (jnp.zeros_like(f), jnp.zeros_like(g))
+    r0, r1 = residual(x0)
+    init = (
+        x0, rel(r0, r1), jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+    )
+    x, r, steps, inner_total, _ = jax.lax.while_loop(cond, body, init)
+    return x, r, steps, inner_total
+
+
 def solve_initial_refined(
     model64,
     model32,

@@ -91,3 +91,34 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_flagship_matches_single_device():
+    """Dof-SHARDED flagship BPCG (halo-exchange operators, VERDICT round-2
+    item 7) reproduces the single-device SolveInitial solution."""
+    import jax.numpy as jnp
+
+    from navier_stokes_tpu.mesh.generators import channel_with_cylinder_mesh
+    from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
+    from navier_stokes_tpu.parallel.ddshard import sharded_flagship_solve
+    from navier_stokes_tpu.parallel.sharding import device_mesh
+
+    def uin(p):
+        return np.stack(
+            [1.5 * 4 * p[:, 1] * (0.41 - p[:, 1]) / 0.41**2,
+             np.zeros(len(p))], 1,
+        )
+
+    mesh2 = channel_with_cylinder_mesh(0.3)
+    ns = NavierStokesMCS(
+        mesh2, nu=1e-3, inflow="inlet", outflow="outlet", wall="wall|cyl",
+        uin=uin, timestep=1e-3, order=2, preconditioner="vertexstar",
+    )
+    mesh = device_mesh(8)
+    res, pu, pp = sharded_flagship_solve(ns, mesh, tol=1e-9, maxsteps=3000)
+    assert bool(res.converged)
+    ns.SolveInitial(iterative=True, GS=False, tol=1e-9, maxsteps=3000)
+    assert abs(int(res.iterations) - ns.stokes_bpcg_iterations) <= 3
+    u_sh = pu.to_global(np.asarray(res.x[0])) + np.asarray(ns.u_bc)
+    diff = np.abs(u_sh - np.asarray(ns.u)).max()
+    assert diff < 1e-6, diff
