@@ -19,12 +19,15 @@ for the same solve (>1 means faster than CPU).
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 
 try:
+    if os.environ.get("BENCH_CPU"):
+        raise RuntimeError("BENCH_CPU set")
     jax.config.update("jax_platforms", "axon,cpu")
     jax.devices()
 except Exception:
@@ -41,7 +44,8 @@ except Exception:
 import jax.numpy as jnp
 import numpy as np
 
-MAXH = 0.09  # 243k velocity dofs + 31k pressure (compute-bound regime)
+MAXH = float(os.environ.get("BENCH_MAXH", "0.09"))
+# 0.09 -> 243k velocity dofs + 31k pressure (compute-bound regime)
 TOL = 1e-8
 H = 0.41
 
@@ -69,7 +73,7 @@ def build(mesh, dtype, preconditioner):
 def measure(device, mesh):
     from navier_stokes_tpu.solvers import (
         equilibrated_f32_ops,
-        mixed_precision_saddle_solve_scaled,
+        mixed_precision_minres_refinement,
     )
 
     # TPU f32 matmuls default to bf16 multiplication: the Krylov machinery
@@ -79,44 +83,75 @@ def measure(device, mesh):
         "jax_default_matmul_precision",
         "highest" if device.platform == "tpu" else None,
     )
+    from navier_stokes_tpu.solvers.bpcg import bramble_pasciak_cg_opt
+    from navier_stokes_tpu.utils.jaxtools import hoisted_jit
+
     with jax.default_device(device):
         t0 = time.perf_counter()
-        m64 = build(mesh, jnp.float64, "faceblock")  # only A/B/BT used
+        m64 = build(mesh, jnp.float64, "auxspace")
         ops64 = dict(A=m64.A, B=m64.B, BT=m64.BT)
-        # Jacobi-equilibrated f32 inner system: the condensed matrix's
-        # diagonal spans ~1e12 at this mesh (element anisotropy), beyond
-        # a bare f32 cast
-        ops32, D = equilibrated_f32_ops(m64, gs=False)
+        # Jacobi-equilibrated, SPLIT (compensated) f32 inner system: the
+        # condensed matrix's diagonal spans ~1e12 (element anisotropy), and
+        # the split-matrix matvec removes the e_f32*kappa representation
+        # error that otherwise floors refinement at ~1e-4
+        ops32, D = equilibrated_f32_ops(m64, gs=False, split=True)
         f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
         g_mod = -m64.B_raw(m64.u_bc)
+        rhs_norm = float(jnp.sqrt(jnp.vdot(f_mod, f_mod) + jnp.vdot(g_mod, g_mod)))
         log(f"{device.platform} setup {time.perf_counter() - t0:.1f}s "
             f"ndof={m64.n}+{m64.Q.ndof}")
 
-        # the f32 Bramble-Pasciak floor of the condensed MCS operator is
-        # ~1e-5 (NOTES_r1.md): inner_tol 1e-4 gains ~4 digits per pass.
-        # hoisted_jit: operator tables travel as runtime buffers, not
-        # constants baked into the remote-compile payload
-        from navier_stokes_tpu.utils.jaxtools import hoisted_jit
-
-        solve = hoisted_jit(
-            lambda: mixed_precision_saddle_solve_scaled(
-                ops64, ops32, D, f_mod, g_mod, tol=TOL, inner_tol=1e-4,
-                inner_maxsteps=4000,
+        # phase 1: f32 MINRES refinement (stable ~3e-6 floor); phase 2:
+        # warm-started f64 BPCG polish for the last digits.  hoisted_jit:
+        # operator tables travel as runtime buffers, not constants baked
+        # into the remote-compile payload.
+        phase1 = hoisted_jit(
+            lambda: mixed_precision_minres_refinement(
+                ops64, ops32, D, f_mod, g_mod, tol=TOL, inner_tol=1e-6,
+                inner_maxsteps=1500, max_refine=10,
             )
         )
-
-        x, r, steps, inner = solve()  # compile + warmup
-        jax.block_until_ready(x)
-        log(
-            f"{device.platform} cold done: rel_res={float(r):.2e} "
-            f"refines={int(steps)} inner_iters={int(inner)}"
+        preA64 = m64._preA_for(False)
+        phase2 = hoisted_jit(
+            lambda u0, p0, reltol: bramble_pasciak_cg_opt(
+                m64.A, m64.B, m64.BT, preA64, m64.preM, f_mod, g_mod,
+                sol=(u0, p0), tol=reltol, maxsteps=600, rel_err=True,
+            ),
+            f_mod, g_mod, jnp.zeros(()),
         )
-        assert float(r) <= TOL, f"did not reach {TOL}: {float(r)}"
+
+        def true_rel(x0, x1):
+            r0 = f_mod - m64.A(x0) - m64.BT(x1)
+            r1 = g_mod - m64.B(x0)
+            return float(
+                jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1))
+            ) / rhs_norm
+
+        def full_solve():
+            x, r, steps, inner = phase1()
+            x0, x1 = x
+            rel = float(r)
+            total_inner = int(inner)
+            rounds = 0
+            while rel > TOL and rounds < 4:
+                # BPCG's internal error is the BP-energy norm relative to
+                # ITS OWN start: aim a margin below the needed reduction
+                res = phase2(x0, x1, jnp.asarray(0.2 * TOL / rel))
+                x0, x1 = res.x
+                total_inner += int(res.iterations)
+                rel = true_rel(x0, x1)
+                rounds += 1
+            return (x0, x1), rel, total_inner
+
+        x, rel, inner = full_solve()  # compile + warmup
+        jax.block_until_ready(x)
+        log(f"{device.platform} cold done: rel_res={rel:.2e} inner={inner}")
+        assert rel <= TOL, f"did not reach {TOL}: {rel}"
         t0 = time.perf_counter()
-        x, r, steps, inner = solve()
+        x, rel, inner = full_solve()
         jax.block_until_ready(x)
         t = time.perf_counter() - t0
-        log(f"{device.platform} warm: {t:.3f}s inner={int(inner)}")
+        log(f"{device.platform} warm: {t:.3f}s rel={rel:.2e} inner={inner}")
     return int(inner), t
 
 
@@ -159,9 +194,10 @@ def main():
         "metric": "mcs3d_initial_stokes_to_residual_1e-8",
         "value": round(ips, 2),
         "unit": (
-            f"inner BPCG iterations/sec (f32+f64 refinement), 3D MCS "
-            f"channel maxh={MAXH}, wall={t_main:.3f}s to f64 rel residual "
-            f"{TOL} on {main_dev.platform}"
+            f"inner Krylov iterations/sec (split-f32 MINRES refinement + "
+            f"f64 BPCG polish), 3D MCS channel maxh={MAXH}, "
+            f"wall={t_main:.3f}s to f64 rel residual {TOL} on "
+            f"{main_dev.platform}"
         ),
         "vs_baseline": round(vs_baseline, 3),
     }))

@@ -3,4 +3,5 @@ from .generators import (
     unit_square_mesh,
     cavity_mesh,
     channel_with_cylinder_mesh,
+    channel_with_cylinder_mesh_3d,
 )

@@ -96,7 +96,7 @@ def mixed_precision_saddle_solve(
     return x, r, steps, inner_total
 
 
-def equilibrated_f32_ops(m, gs: bool = False):
+def equilibrated_f32_ops(m, gs: bool = False, split: bool = False):
     """Jacobi-equilibrated float32 operator bundle for a 3D MCS model.
 
     The condensed MCS matrix on sliver-heavy meshes spans a dynamic range
@@ -137,20 +137,56 @@ def equilibrated_f32_ops(m, gs: bool = False):
     free_j = jnp.asarray(free)
     n, nQ = m.n, m.Q.ndof
 
-    def A32(u):
-        uf = jnp.where(free_j, u, 0.0)
-        y = asm.apply_local_matrices(A_sj, eldofs_j, n, uf)
-        return jnp.where(free_j, y, u)
+    if split:
+        # compensated (split-matrix) matvec: A ~ hi + lo with
+        # hi = f32(A), lo = f32(A - hi).  Two f32 GEMM passes represent the
+        # OPERATOR to ~f32^2 accuracy, removing the e_f32 * kappa(A32)
+        # representation error that floors plain-f32 iterative refinement
+        # (~1e-4 observed on the 3D channel); cost is 2x an f32 apply —
+        # still ~5x cheaper than emulated-f64 on TPU v5e.
+        A_lo = jnp.asarray(A_s - np.asarray(A_sj, np.float64), f32)
 
-    def B32(u):
-        ue = jnp.where(free_j, u, 0.0)[eldofs_j]
-        pe = jnp.einsum("epi,ei->ep", B_sj, ue)
-        return asm.scatter_add(pe, eldofs_p, nQ)
+        def A32(u):
+            uf = jnp.where(free_j, u, 0.0)
+            y = asm.apply_local_matrices(A_sj, eldofs_j, n, uf)
+            y = y + asm.apply_local_matrices(A_lo, eldofs_j, n, uf)
+            return jnp.where(free_j, y, u)
 
-    def BT32(p):
-        pe = p[eldofs_p]
-        ue = jnp.einsum("epi,ep->ei", B_sj, pe)
-        return jnp.where(free_j, asm.scatter_add(ue, eldofs_j, n), 0.0)
+    else:
+
+        def A32(u):
+            uf = jnp.where(free_j, u, 0.0)
+            y = asm.apply_local_matrices(A_sj, eldofs_j, n, uf)
+            return jnp.where(free_j, y, u)
+
+    if split:
+        B_lo = jnp.asarray(B_s - np.asarray(B_sj, np.float64), f32)
+
+        def B32(u):
+            ue = jnp.where(free_j, u, 0.0)[eldofs_j]
+            pe = jnp.einsum("epi,ei->ep", B_sj, ue) + jnp.einsum(
+                "epi,ei->ep", B_lo, ue
+            )
+            return asm.scatter_add(pe, eldofs_p, nQ)
+
+        def BT32(p):
+            pe = p[eldofs_p]
+            ue = jnp.einsum("epi,ep->ei", B_sj, pe) + jnp.einsum(
+                "epi,ep->ei", B_lo, pe
+            )
+            return jnp.where(free_j, asm.scatter_add(ue, eldofs_j, n), 0.0)
+
+    else:
+
+        def B32(u):
+            ue = jnp.where(free_j, u, 0.0)[eldofs_j]
+            pe = jnp.einsum("epi,ei->ep", B_sj, ue)
+            return asm.scatter_add(pe, eldofs_p, nQ)
+
+        def BT32(p):
+            pe = p[eldofs_p]
+            ue = jnp.einsum("epi,ep->ei", B_sj, pe)
+            return jnp.where(free_j, asm.scatter_add(ue, eldofs_j, n), 0.0)
 
     preA32 = build_skeleton_preconditioner_3d(
         m.Xv, A_s, m._dirich, f32, coarse_coefficient=m.nu, gs=gs,
