@@ -78,6 +78,26 @@ def curve_to_circle(
     return CurvedGeometry(order, coords)
 
 
+def geometry_hessian(geo: CurvedGeometry, ref_points: np.ndarray,
+                     h: float = 1e-6):
+    """H (ne, nq, 2c, 2A, 2B) = d^2 x_c / dxhat_A dxhat_B of the
+    isoparametric map (central differences of the exact basis gradients;
+    the basis is polynomial so the FD error ~1e-9 is far below the
+    geometric consistency error of the order-g map itself)."""
+    gb = geo.basis
+    H = np.zeros((len(geo.coords), len(ref_points), 2, 2, 2))
+    for B in range(2):
+        dp = ref_points.copy()
+        dp[:, B] += h
+        dm = ref_points.copy()
+        dm[:, B] -= h
+        _, gp = gb.tabulate(dp)
+        _, gm = gb.tabulate(dm)
+        dg = (gp - gm) / (2 * h)  # (nq, ng, 2A)
+        H[..., B] = np.einsum("qnA,enc->eqcA", dg, geo.coords)
+    return H
+
+
 def geometry_tables(geo: CurvedGeometry, ref_points: np.ndarray):
     """(J (ne,nq,2,2), detJ (ne,nq), Jinv (ne,nq,2,2), x (ne,nq,2)) of the
     isoparametric map at the given reference points."""

@@ -211,6 +211,140 @@ def assemble_hdg_stokes(
     return A, B, force_local
 
 
+def assemble_hdg_stokes_curved(
+    V: HybridVelocitySpace,
+    Q: FunctionSpace,
+    geometry,
+    alpha: float = 10.0,
+    nu: float = 1.0,
+):
+    """Curved-geometry (isoparametric) HDG Stokes assembly.
+
+    The reference curves the cylinder to order 3 for every benchmark
+    (/root/reference/run.py:28); straight-sided Piola elements solve a
+    perturbed geometry (VERDICT.md round-2 item 5).  With a non-affine map
+    x(xhat) the Piola value is u = J(xhat) uhat / detJ(xhat) and its
+    gradient picks up geometry-curvature terms
+
+      du_c/dx_d = [ (H_cAB uhat_A + J_cA ghat_AB)/detJ
+                    - u_c d_B(detJ) / detJ ] (Jinv)_Bd,
+
+    with H the geometry Hessian; ``div u = divhat uhat / detJ`` stays exact
+    (Piola identity), so the divergence coupling B is unchanged.  Facet
+    integrals use the exact curved scaled normal detJ J^{-T} nhat (whose
+    length IS the curved surface measure).  Interior edges of a
+    boundary-curved mesh remain straight (only cylinder-edge geometry
+    nodes move), so the facet-space parametrization is unchanged; the
+    curved cylinder edges carry Dirichlet facet dofs.
+    """
+    from ..mesh.curved import geometry_hessian, geometry_tables
+
+    mesh = V.mesh
+    hb = V.hdiv.basis
+    k = hb.order
+    nbv = hb.n_basis
+    nfd = V.facet.n_edge
+    nloc = nbv + 3 * nfd
+    ne = mesh.ne
+
+    vol = triangle_rule(2 * k + 4)
+    w = vol.weights
+    J, detJ, Jinv, xq = geometry_tables(geometry, vol.points)
+    H = geometry_hessian(geometry, vol.points)
+    # d_B detJ (2D cofactor expansion)
+    ddet = (
+        H[..., 0, 0, :] * J[..., 1, 1, None]
+        + J[..., 0, 0, None] * H[..., 1, 1, :]
+        - H[..., 0, 1, :] * J[..., 1, 0, None]
+        - J[..., 0, 1, None] * H[..., 1, 0, :]
+    )  # (ne, nq, 2B)
+
+    vhat, ghat = hb.tabulate(vol.points)
+
+    def piola(Jq, detq, Hq, ddetq, Jinvq, vh, gh):
+        """(val_p, grad_p) for per-qp geometry tables."""
+        val = np.einsum("eqcA,qiA->eqic", Jq, vh, optimize=True) / detq[..., None, None]
+        t1 = (
+            np.einsum("eqcAB,qiA->eqicB", Hq, vh, optimize=True)
+            + np.einsum("eqcA,qiAB->eqicB", Jq, gh, optimize=True)
+        ) / detq[..., None, None, None]
+        t1 -= val[..., None] * (ddetq / detq[..., None])[:, :, None, None, :]
+        grad = np.einsum("eqicB,eqBd->eqicd", t1, Jinvq, optimize=True)
+        return val, grad
+
+    val_p, grad_p = piola(J, detJ, H, ddet, Jinv, vhat, ghat)
+    A = np.zeros((ne, nloc, nloc))
+    A[:, :nbv, :nbv] = nu * np.einsum(
+        "q,eqicd,eqjcd,eq->eij", w, grad_p, grad_p, detJ, optimize=True
+    )
+
+    # --- facet terms -----------------------------------------------------
+    fg = facet_geometry(mesh, k + 4)
+    from ..fem.reference import TRI_EDGES
+
+    _, detJ_aff, _ = mesh.element_jacobians
+    ref_n_sc = {
+        0: np.array([0.0, -1.0]),
+        1: np.array([1.0, 1.0]),
+        2: np.array([-1.0, 0.0]),
+    }
+    for le in range(3):
+        pts = fg.ref_points[le]
+        nq1 = len(pts)
+        Jf, detf, Jinvf, xf = geometry_tables(geometry, pts)
+        Hf = geometry_hessian(geometry, pts)
+        ddetf = (
+            Hf[..., 0, 0, :] * Jf[..., 1, 1, None]
+            + Jf[..., 0, 0, None] * Hf[..., 1, 1, :]
+            - Hf[..., 0, 1, :] * Jf[..., 1, 0, None]
+            - Jf[..., 0, 1, None] * Hf[..., 1, 0, :]
+        )
+        tv, tg = hb.tabulate(pts)
+        v_tp, g_tp = piola(Jf, detf, Hf, ddetf, Jinvf, tv, tg)
+        # curved scaled outward normal: detJ J^{-T} nhat_sc; |.| = ds/dt
+        nsc = np.einsum(
+            "eq,eqBc,B->eqc", detf, Jinvf, ref_n_sc[le], optimize=True
+        )
+        dsq = np.linalg.norm(nsc, axis=-1)  # (ne, nq1)
+        n_unit = nsc / dsq[..., None]
+        gn_v = np.einsum("eqicd,eqd->eqic", g_tp, n_unit, optimize=True)
+        vn = np.einsum("eqic,eqc->eqi", v_tp, n_unit, optimize=True)
+        tang_v = v_tp - vn[..., None] * n_unit[:, :, None, :]
+        tgl = fg.t_global[:, le]
+        leg = np.stack([legendre_01(tgl, j) for j in range(nfd)], axis=2)
+        fvals = leg[..., None] * fg.tau_global[:, le][:, None, None, :]
+        fall = np.zeros((ne, nq1, 3 * nfd, 2))
+        fall[:, :, le * nfd: (le + 1) * nfd, :] = fvals
+        jump = np.concatenate([-tang_v, fall], axis=2)
+        gn = np.concatenate([gn_v, np.zeros_like(fall)], axis=2)
+        pen = alpha * k * k * fg.elen[:, le] / detJ_aff
+        A += nu * (
+            np.einsum("q,eqic,eqjc,eq->eij", fg.w, jump, gn, dsq, optimize=True)
+            + np.einsum("q,eqic,eqjc,eq->eij", fg.w, gn, jump, dsq, optimize=True)
+            + np.einsum("q,eqic,eqjc,eq,e->eij", fg.w, jump, jump, dsq, pen, optimize=True)
+        )
+
+    # --- b-form: int div(u) q = int_ref divhat qhat (Piola identity) -----
+    tp = Q.basis.tabulate(vol.points)[0]
+    divhat = np.einsum("qicc->qi", ghat)
+    B = np.zeros((ne, tp.shape[1], nloc))
+    B[:, :, :nbv] = np.einsum("q,qp,qi->pi", w, tp, divhat)[None]
+
+    s = V.element_signs
+    A = A * s[:, :, None] * s[:, None, :]
+    B = B * s[:, None, :]
+
+    def force_local(force):
+        fq = force(xq.reshape(-1, 2)).reshape(ne, -1, 2)
+        fe = np.zeros((ne, nloc))
+        fe[:, :nbv] = np.einsum(
+            "q,eqc,eqic,eq->ei", w, fq, val_p, detJ, optimize=True
+        )
+        return fe * s
+
+    return A, B, force_local
+
+
 def hybrid_h1_embedding(V: HybridVelocitySpace, dtype=jnp.float64,
                         interior: bool = True):
     """(T, T^T): embed a vector P1 field (2, nv) -> hybrid dofs.
@@ -500,11 +634,20 @@ def build_hybrid_stokes_system(
     alpha: float = 10.0,
     dtype=jnp.float64,
     a_pre: str = "edgeblock",
+    geometry=None,
 ) -> StokesSystem:
-    """run.py:114-172 equivalent system builder for the HDG families."""
+    """run.py:114-172 equivalent system builder for the HDG families.
+
+    ``geometry``: optional CurvedGeometry (mesh.Curve(order) equivalent,
+    run.py:28) — switches to the isoparametric Piola assembly."""
     V, Q = discretization(mesh, velocity_dirichlet)
     assert isinstance(V, HybridVelocitySpace)
-    A_loc_np, B_loc_np, force_local = assemble_hdg_stokes(V, Q, alpha=alpha)
+    if geometry is not None:
+        A_loc_np, B_loc_np, force_local = assemble_hdg_stokes_curved(
+            V, Q, geometry, alpha=alpha
+        )
+    else:
+        A_loc_np, B_loc_np, force_local = assemble_hdg_stokes(V, Q, alpha=alpha)
 
     eldofs_v = jnp.asarray(V.element_dofs)
     eldofs_p = jnp.asarray(Q.element_dofs)

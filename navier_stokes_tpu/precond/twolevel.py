@@ -12,13 +12,14 @@ This module implements that structure TPU-first:
   Jacobi;
 * coarse level: the embedded P1 space on the same mesh (for nested Lagrange
   spaces the Galerkin coarse operator IS the P1 stiffness matrix), solved
-  exactly by a precomputed dense inverse on free coarse dofs.
+  by a precomputed dense inverse on small coarse spaces and by a
+  smoothed-aggregation AMG V-cycle (precond/amg.py) at scale.
 
 Additive combination keeps the preconditioner SPD, which Bramble-Pasciak CG
 requires; the Lanczos scaling (bpcg.bp_scale_factor) absorbs the additive-
-Schwarz spectral bounds.  Gauss-Seidel (the reference's GS=True multiplicative
-variant, :375-381) is sequential and is deliberately replaced by this
-additive form (documented deviation, SURVEY.md section 7 hard-part 2).
+Schwarz spectral bounds.  The reference's GS=True multiplicative variant
+(:375-381) is available as multi-color block Gauss-Seidel
+(precond/multicolor.py), wired through the model preconditioner builders.
 """
 
 from __future__ import annotations
@@ -74,13 +75,18 @@ def p1_embedding(space: FunctionSpace, dtype=jnp.float64):
 
 
 def coarse_p1_solver(
-    space: FunctionSpace, coefficient: float = 1.0, dtype=jnp.float64
+    space: FunctionSpace, coefficient: float = 1.0, dtype=jnp.float64,
+    dense_limit: int = 5000,
 ):
-    """Exact solver on the P1 coarse space (same mesh, same Dirichlet).
+    """Coarse solver on the P1 space (same mesh, same Dirichlet).
 
-    Returns a jit-safe apply r_coarse -> Kc^{-1} r_coarse (zero on
-    constrained coarse dofs).  Dense inverse, precomputed on host — coarse
-    problems are O(nv) and the inverse apply is one MXU matmul.
+    Returns a jit-safe apply r_coarse -> ~Kc^{-1} r_coarse (zero on
+    constrained coarse dofs).  Small coarse spaces (<= ``dense_limit`` free
+    dofs) use a precomputed dense inverse — one MXU matmul; larger ones use
+    a smoothed-aggregation AMG V-cycle (precond/amg.py, the h1amg stand-in:
+    O(nv) memory, h-independent quality) exactly as the reference's
+    auxiliary-space preconditioner applies one 'h1amg' cycle
+    (NavierStokesSIMPLE_iterative.py:122,310-357).
     """
     mesh = space.mesh
     coarse = H1(mesh, 1, dirichlet=space.dirichlet_names)
@@ -88,11 +94,18 @@ def coarse_p1_solver(
     Kc = asm.assemble_csr(
         np.asarray(asm.stiffness_local(tc)), coarse.element_dofs, coarse.ndof
     ) * coefficient
-    free = np.where(coarse.free_mask)[0]
+    free_mask = coarse.free_mask
+    free = np.where(free_mask)[0]
+    nv = coarse.ndof
+
+    if len(free) > dense_limit:
+        from .amg import build_sa_amg
+
+        return build_sa_amg(Kc, free_mask, dtype)
+
     Kff = np.asarray(Kc[free][:, free].todense())
     inv = jnp.asarray(np.linalg.inv(Kff), dtype)
     free_j = jnp.asarray(free)
-    nv = coarse.ndof
 
     def solve(r):
         # no precision pin: this is a preconditioner apply — reduced-precision

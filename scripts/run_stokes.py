@@ -29,6 +29,7 @@ from navier_stokes_tpu.models.discretizations import (
     rt_hybrid,
     taylor_hood,
 )
+from navier_stokes_tpu.mesh.curved import curve_to_circle
 from navier_stokes_tpu.models.stokes_hybrid import solve_hybrid
 from navier_stokes_tpu.models.stokes_mcs import solve_hcurldiv
 
@@ -60,7 +61,11 @@ methods = {
         },
     },
     "hybrid_dg": {
-        "solve": solve_hybrid,
+        # order-3 curved cylinder like the reference (run.py:28)
+        "solve": lambda mesh, disc, solver: solve_hybrid(
+            mesh, disc, solver,
+            geometry=curve_to_circle(mesh, "cyl", (0.2, 0.2), 0.05, 3),
+        ),
         "discretizations": {
             "HDG BDM 2": bdm_hybrid(2, 10),
             # "HDG RT 1": rt_hybrid(1, 10),

@@ -49,6 +49,7 @@ SLOW_TESTS = {
     "test_mcs_ns_3d_channel_steady",
     "test_mcs_ns_3d_time_stepping",
     "test_mcs_ns_gauss_seidel_reduces_iterations",
+    "test_curved_piola_channel_solves",
 }
 
 
