@@ -9,9 +9,10 @@ uses (SURVEY.md section 2b row 1):
 * lid-driven cavity (BASELINE.json config; unit square with named lid)
 
 Curved elements: the reference curves the cylinder boundary to order 3
-(run.py:28).  Here boundary nodes are snapped exactly onto the circle and the
-geometry is otherwise straight-element (documented deviation, SURVEY.md
-section 7 hard-part 6); curved-geometry quadrature is a planned extension.
+(run.py:28).  Boundary nodes are snapped exactly onto the circle here, and
+mesh/curved.py supplies the order-3 isoparametric geometry maps consumed by
+both the Lagrange pipeline and the curved Piola assembly
+(models/stokes_hybrid.assemble_hdg_stokes_curved).
 """
 
 from __future__ import annotations
@@ -161,6 +162,7 @@ def channel_with_cylinder_mesh_3d(
     height: float = 0.41,
     cyl_center: tuple[float, float] = (0.5, 0.2),
     cyl_radius: float = 0.05,
+    circle_resolution: int = 16,
 ) -> Mesh:
     """3D Schaefer-Turek channel: brick (0,0,0)-(length,H,H) minus a
     z-axis-parallel cylinder at (0.5, 0.2), the geometry of
@@ -172,6 +174,7 @@ def channel_with_cylinder_mesh_3d(
     base = channel_with_cylinder_mesh(
         maxh, length=length, height=height,
         cyl_center=cyl_center, cyl_radius=cyl_radius,
+        circle_resolution=circle_resolution,
     )
     nz = max(2, round(height / maxh))
     mesh = extrude_to_tets(base, np.linspace(0.0, height, nz + 1))
@@ -204,6 +207,7 @@ def channel_with_cylinder_mesh(
     cyl_center: tuple[float, float] = (0.2, 0.2),
     cyl_radius: float = 0.05,
     refine_cylinder: float = 0.35,
+    circle_resolution: int = 16,
 ) -> Mesh:
     """Schaefer-Turek channel: rectangle with a circular hole.
 
@@ -227,7 +231,7 @@ def channel_with_cylinder_mesh(
     grid = np.stack([X.ravel(), Y.ravel()], axis=1)
 
     # concentric rings around the cylinder (innermost exactly on the circle)
-    h_cyl = min(maxh * refine_cylinder, 2 * np.pi * r / 16)
+    h_cyl = min(maxh * refine_cylinder, 2 * np.pi * r / circle_resolution)
     n_ring = max(16, int(np.ceil(2 * np.pi * r / h_cyl)))
     rings = []
     ring_radii = [r]
