@@ -50,6 +50,7 @@ SLOW_TESTS = {
     "test_mcs_ns_3d_time_stepping",
     "test_mcs_ns_gauss_seidel_reduces_iterations",
     "test_curved_piola_channel_solves",
+    "test_curved_mcs_channel_solves",
 }
 
 

@@ -109,3 +109,36 @@ def test_curved_piola_channel_solves():
     assert errs_c[-1] < 1e-7
     delta = np.linalg.norm(u_c - u_s) / np.linalg.norm(u_s)
     assert 1e-4 < delta < 0.2, delta
+
+
+def test_curved_mcs_channel_solves():
+    """The MCS flagship on the order-3 curved cylinder (VERDICT round-2
+    item 5 'Done': HDG + MCS channel solve curved, measured delta)."""
+    import numpy as np
+    from navier_stokes_tpu.mesh.curved import curve_to_circle
+    from navier_stokes_tpu.mesh.generators import channel_with_cylinder_mesh
+    from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
+
+    mesh = channel_with_cylinder_mesh(0.15)
+    geo = curve_to_circle(mesh, "cyl", (0.2, 0.2), 0.05, 3)
+
+    def uin(p):
+        return np.stack(
+            [1.5 * 4 * p[:, 1] * (0.41 - p[:, 1]) / 0.41**2,
+             np.zeros(len(p))], 1,
+        )
+
+    def run(g):
+        ns = NavierStokesMCS(
+            mesh, nu=1e-3, inflow="inlet", outflow="outlet", wall="wall|cyl",
+            uin=uin, timestep=1e-3, order=2, geometry=g,
+        )
+        res = ns.SolveInitial(iterative=True, GS=False, tol=1e-8,
+                              maxsteps=20000)
+        assert bool(res.converged)
+        return np.asarray(ns.u)
+
+    u_s = run(None)
+    u_c = run(geo)
+    delta = np.linalg.norm(u_c - u_s) / np.linalg.norm(u_s)
+    assert 1e-4 < delta < 0.2, delta
