@@ -575,7 +575,7 @@ class NavierStokesMCS:
             n_ret = self.A_cond_np.shape[1]
             M_full = np.zeros((mesh.ne, n_ret, n_ret))
             M_full[:, :nbv, :nbv] = M_u
-            self._M_loc = jnp.asarray(M_full, dtype)
+            self._M_loc_np = M_full
 
             # divergence coupling B: pressure x retained (u block only)
             qb = self.Q.basis
@@ -590,7 +590,7 @@ class NavierStokesMCS:
             B_loc[:, :, :nbv] = B_ref[None] * self.V.element_signs[:, None, :]
             self._B_loc = jnp.asarray(B_loc, dtype)
         else:
-            self._M_loc = jnp.asarray(M_full_np, dtype)
+            self._M_loc_np = M_full_np
             self._B_loc = jnp.asarray(B_loc_np, dtype)
         self.eldofs_p = jnp.asarray(self.Q.element_dofs)
 
@@ -604,6 +604,8 @@ class NavierStokesMCS:
             return jnp.where(free, A_raw(uf), u)
 
         def mass_raw(u):
+            # the mass tables ship to device lazily: the steady SolveInitial
+            # path never touches them (device memory at bench sizes)
             return asm.apply_local_matrices(self._M_loc, eldofs, n, u)
 
         def mstar(u):
@@ -634,10 +636,14 @@ class NavierStokesMCS:
         # MypreA.Mult :375-381) built from the same blocks.
         self._dirich = dirich
         self._preA_cache: dict[bool, object] = {}
-        diag_m = asm.diagonal_of_local(
-            self._M_loc + timestep * A_cond, eldofs, n
+        diag_m_np = np.zeros(n)
+        np.add.at(
+            diag_m_np, self.Xv.element_dofs.ravel(),
+            np.einsum(
+                "eii->ei", self._M_loc_np + timestep * self.A_cond_np
+            ).ravel(),
         )
-        diag_m = jnp.where(free, jnp.abs(diag_m), 1.0)
+        diag_m = jnp.where(free, jnp.abs(jnp.asarray(diag_m_np, dtype)), 1.0)
         self.preMstar = lambda u: jnp.where(free, u / diag_m, u)
         tq = asm.make_tables(self.Q, 2 * max(self.Q.order, 1), dtype)
         diag_Mp = asm.diagonal_of_local(asm.mass_local(tq), tq.eldofs, self.Q.ndof)
@@ -656,7 +662,12 @@ class NavierStokesMCS:
         else:
             self.preM = lambda p: nu * p / diag_Mp
             self._preM_proj = lambda p: p / diag_Mp
-        diag_Mv = asm.diagonal_of_local(self._M_loc, eldofs, n)
+        diag_Mv_np = np.zeros(n)
+        np.add.at(
+            diag_Mv_np, self.Xv.element_dofs.ravel(),
+            np.einsum("eii->ei", self._M_loc_np).ravel(),
+        )
+        diag_Mv = jnp.asarray(diag_Mv_np, dtype)
         diag_Mv = jnp.where(free & (jnp.abs(diag_Mv) > 1e-30), diag_Mv, 1.0)
         self._preMv = lambda u: jnp.where(free, u / diag_Mv, u)
 
@@ -693,9 +704,19 @@ class NavierStokesMCS:
         self.p = jnp.zeros(self.Q.ndof, dtype)
         self.stokes_bpcg_iterations = None
         self.stokes_bpcg_time = None
-        self._mass_chebyshev()  # eager: its Lanczos bound needs concrete values
 
     # ------------------------------------------------------------------
+
+    @property
+    def _M_loc(self):
+        if getattr(self, "_M_loc_j", None) is None:
+            # lazily shipped to device; ensure_compile_time_eval keeps the
+            # materialization CONCRETE even when first touched inside a jit
+            # trace (a traced constant would leak out of the trace)
+            np_dt = np.dtype(self.dtype.__name__)
+            with jax.ensure_compile_time_eval():
+                self._M_loc_j = jnp.asarray(np.asarray(self._M_loc_np, np_dt))
+        return self._M_loc_j
 
     def convection(self, u):
         if self._conv_v is None:
