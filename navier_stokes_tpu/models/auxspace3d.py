@@ -194,6 +194,7 @@ def build_skeleton_preconditioner_3d(
     V, A_np, velocity_dirichlet: str, dtype=jnp.float64,
     coarse_coefficient: float = 1.0, gs: bool = False,
     dof_scale: np.ndarray | None = None,
+    store_dtype=None,
 ):
     """Condensation-aware preconditioner for the 3D condensed MCS/HDG
     operator: exact batched solve of the element-interior block, an
@@ -269,9 +270,16 @@ def build_skeleton_preconditioner_3d(
 
     eldofs_skel_j = jnp.asarray(eldofs_skel)
     int_dofs_j = jnp.asarray(int_dofs)
-    AinvAis_j = jnp.asarray(AinvAis, dtype)
-    A_ii_inv_j = jnp.asarray(A_ii_inv, dtype)
-    S_loc_j = jnp.asarray(S_loc, dtype)
+    # ``store_dtype``: table STORAGE precision.  f32-stored tables applied
+    # in f64 vector arithmetic stay a FIXED linear operator (a
+    # preconditioner with rounded coefficients is harmless), halving the
+    # device footprint of the big skeleton tables — unlike f32 ARITHMETIC,
+    # whose nonlinear rounding noise floors the true residual of the outer
+    # Bramble-Pasciak iteration near 1e-6.
+    sdt = store_dtype or dtype
+    AinvAis_j = jnp.asarray(AinvAis, sdt)
+    A_ii_inv_j = jnp.asarray(A_ii_inv, sdt)
+    S_loc_j = jnp.asarray(S_loc, sdt)
 
     def ext(y):
         """Harmonic extension: overwrite interiors from skeleton values."""
@@ -316,7 +324,7 @@ def build_skeleton_preconditioner_3d(
             return mgs.backward(S_apply, xs, y)
 
     else:
-        smooth = block_jacobi(dofs, jnp.asarray(mats, dtype), nV)
+        smooth = block_jacobi(dofs, jnp.asarray(mats, sdt), nV)
 
         def pre_skel(xs):
             return smooth(xs) + coarse(xs)
