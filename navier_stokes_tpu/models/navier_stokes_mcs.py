@@ -913,6 +913,10 @@ class NavierStokesMCS:
         return u_new
 
     def make_step_fn(self):
+        # the Chebyshev mass inverse must be CONSTRUCTED outside any jit
+        # trace (its Lanczos bound needs concrete values); building it here
+        # keeps model setup lazy while the returned step stays jittable
+        self._mass_chebyshev()
         free, f, dt = self.free, self.f, self.timestep
         conv, A_raw = self.convection, self.A_raw
         inv_mstar, project = self._inv_mstar, self._project_velocity
