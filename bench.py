@@ -74,10 +74,7 @@ def build(mesh, dtype, preconditioner):
 
 
 def measure(device, mesh):
-    from navier_stokes_tpu.solvers import (
-        equilibrated_f32_ops,
-        mixed_precision_minres_refinement,
-    )
+    from navier_stokes_tpu.solvers import equilibrated_f32_ops
 
     # TPU f32 matmuls default to bf16 multiplication: the Krylov machinery
     # needs true f32 there.  On CPU 'highest' forces slow emulated paths for
@@ -106,15 +103,37 @@ def measure(device, mesh):
         log(f"{device.platform} setup {time.perf_counter() - t0:.1f}s "
             f"ndof={m64.n}+{m64.Q.ndof}")
 
-        # phase 1: f32 MINRES refinement (stable ~3e-6 floor); phase 2:
-        # warm-started f64 BPCG polish for the last digits.  hoisted_jit:
-        # operator tables travel as runtime buffers, not constants baked
-        # into the remote-compile payload.
-        phase1 = hoisted_jit(
-            lambda: mixed_precision_minres_refinement(
-                ops64, ops32, D, f_mod, g_mod, tol=TOL, inner_tol=1e-6,
-                inner_maxsteps=1500, max_refine=10,
-            )
+        # phase 1: f32 MINRES refinement passes (stable ~3e-6 floor);
+        # phase 2: warm-started f64 BPCG polish for the last digits.
+        # hoisted_jit: operator tables travel as runtime buffers, not
+        # constants baked into the remote-compile payload.  Device
+        # executions are CHUNKED (<=400 Krylov its per call): the axon
+        # tunnel kills executions running longer than ~60 s (measured:
+        # a 49 s call survives, a ~75 s call takes the worker down).
+        from navier_stokes_tpu.solvers.minres import minres
+
+        def K32(x):
+            u, p = x
+            return (ops32["A"](u) + ops32["BT"](p), ops32["B"](u))
+
+        def pre32(x):
+            return (ops32["preA"](x[0]), ops32["preM"](x[1]))
+
+        CHUNK32 = 400
+        z32 = jnp.zeros_like(f_mod, jnp.float32)
+        zp32 = jnp.zeros_like(g_mod, jnp.float32)
+        minres_chunk = hoisted_jit(
+            lambda r0s, r1s, x0, x1: minres(
+                K32, (r0s, r1s), pre=pre32, sol=(x0, x1),
+                initialize=False, tol=5e-7, maxsteps=CHUNK32,
+            ),
+            z32, zp32, z32, zp32,
+        )
+        residual64 = hoisted_jit(
+            lambda u0, u1: (
+                f_mod - m64.A(u0) - m64.BT(u1), g_mod - m64.B(u0)
+            ),
+            f_mod, g_mod,
         )
         # f64 polish preconditioner: f64 ARITHMETIC (f32 arithmetic's
         # rounding noise floors the outer true residual near 1e-6 through
@@ -130,34 +149,54 @@ def measure(device, mesh):
             coarse_coefficient=m64.nu, store_dtype=jnp.float32,
         )
 
+        CHUNK64 = 150
         phase2 = hoisted_jit(
             lambda u0, p0, reltol: bramble_pasciak_cg_opt(
                 m64.A, m64.B, m64.BT, preA64, m64.preM, f_mod, g_mod,
-                sol=(u0, p0), tol=reltol, maxsteps=600, rel_err=True,
+                sol=(u0, p0), tol=reltol, maxsteps=CHUNK64, rel_err=True,
             ),
             f_mod, g_mod, jnp.zeros(()),
         )
 
-        def true_rel(x0, x1):
-            r0 = f_mod - m64.A(x0) - m64.BT(x1)
-            r1 = g_mod - m64.B(x0)
+        def true_rel(r0, r1):
             return float(
                 jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1))
             ) / rhs_norm
 
         def full_solve():
-            x, r, steps, inner = phase1()
-            x0, x1 = x
-            rel = float(r)
-            total_inner = int(inner)
+            x0 = jnp.zeros_like(f_mod)
+            x1 = jnp.zeros_like(g_mod)
+            total_inner = 0
+            rel = 1.0
+            # phase 1: f32 MINRES refinement passes, chunked
+            for _pass in range(8):
+                r0, r1 = residual64(x0, x1)
+                new_rel = true_rel(r0, r1)
+                if new_rel <= TOL or (_pass > 0 and new_rel > 0.7 * rel):
+                    rel = min(rel, new_rel)
+                    break
+                rel = new_rel
+                r0s = (D * r0).astype(jnp.float32)
+                r1s = r1.astype(jnp.float32)
+                dx0, dx1 = z32, zp32
+                for _c in range(3):
+                    res = minres_chunk(r0s, r1s, dx0, dx1)
+                    dx0, dx1 = res.x
+                    total_inner += int(res.iterations)
+                    if bool(res.converged):
+                        break
+                x0 = x0 + D * dx0.astype(jnp.float64)
+                x1 = x1 + dx1.astype(jnp.float64)
+            # phase 2: warm-started f64 BPCG polish, chunked; BPCG's
+            # internal error is the BP-energy norm relative to ITS OWN
+            # start, so aim a margin below the needed reduction
             rounds = 0
-            while rel > TOL and rounds < 4:
-                # BPCG's internal error is the BP-energy norm relative to
-                # ITS OWN start: aim a margin below the needed reduction
+            while rel > TOL and rounds < 12:
                 res = phase2(x0, x1, jnp.asarray(0.2 * TOL / rel))
                 x0, x1 = res.x
                 total_inner += int(res.iterations)
-                rel = true_rel(x0, x1)
+                r0, r1 = residual64(x0, x1)
+                rel = true_rel(r0, r1)
                 rounds += 1
             return (x0, x1), rel, total_inner
 
