@@ -135,6 +135,7 @@ def bramble_pasciak_cg_opt(
     tol: float = 1e-6, maxsteps: int = 100, rel_err: bool = True,
     scale_k=None, lanczos_iterations: int = 40,
     accum_dtype=None,
+    resume=None, return_state: bool = False, max_new_iterations=None,
 ) -> SolverResult:
     """Optimized BPCG (one A/preA/B/BT/preM apply per iteration).
 
@@ -147,6 +148,12 @@ def bramble_pasciak_cg_opt(
     inner products per iteration — the dominant rounding source of f32
     Krylov loops; O(n) extra emulated-f64 work per iteration against the
     O(n * block^2) matvecs (VERDICT.md round-2 item 8).
+
+    Chunked execution (the axon tunnel kills device executions beyond
+    ~60 s): pass ``return_state=True`` to also get an opaque resume pytree,
+    ``max_new_iterations=N`` to bound the iterations of THIS call, and
+    ``resume=state`` to continue a previous call EXACTLY (same recurrence
+    carries — no restart penalty), with ``scale_k`` required on resume.
     """
     if scale_k is None:
         scale_k, _ = bp_scale_factor(A, preA, f, lanczos_iterations)
@@ -160,50 +167,63 @@ def bramble_pasciak_cg_opt(
     else:
         tdot_acc = tdot
 
-    # rhs transform: f_new = A preA f - f ; g_new = B preA f - g
-    tmp0 = preAs(f)
-    f_new = tsub(A(tmp0), f)
-    g_new = tsub(B(tmp0), g)
-    rhs = (f_new, g_new)
+    vdt0 = jax.tree_util.tree_leaves(f)[0].dtype
+    if resume is None:
+        # rhs transform: f_new = A preA f - f ; g_new = B preA f - g
+        tmp0 = preAs(f)
+        f_new = tsub(A(tmp0), f)
+        g_new = tsub(B(tmp0), g)
+        rhs = (f_new, g_new)
 
-    u = tzeros_like(rhs) if sol is None else sol
+        u = tzeros_like(rhs) if sol is None else sol
 
-    # initial residual d = rhs - K_transformed u  (bramblepasciak_new.py:160-170)
-    t0 = _tadd(A(u[0]), BT(u[1]))
-    t1 = preAs(t0)
-    t2 = A(t1)
-    t4 = tsub(t1, u[0])
-    t3 = B(t4)
-    d = (tsub(rhs[0], tsub(t2, t0)), tsub(rhs[1], t3))
+        # initial residual d = rhs - K_transformed u  (bramblepasciak_new.py:160-170)
+        t0 = _tadd(A(u[0]), BT(u[1]))
+        t1 = preAs(t0)
+        t2 = A(t1)
+        t4 = tsub(t1, u[0])
+        t3 = B(t4)
+        d = (tsub(rhs[0], tsub(t2, t0)), tsub(rhs[1], t3))
 
-    # preconditioned residual w (bramblepasciak_new.py:172-183)
-    pr0 = preAs(f)
-    pr1 = preM(tsub(B(pr0), g))
-    w = (tsub(pr0, t1), tsub(pr1, preM(t3)))
+        # preconditioned residual w (bramblepasciak_new.py:172-183)
+        pr0 = preAs(f)
+        pr1 = preM(tsub(B(pr0), g))
+        w = (tsub(pr0, t1), tsub(pr1, preM(t3)))
 
-    wdn = tdot_acc(w, d)
-    dtype = wdn.dtype  # accumulation dtype (= vector dtype unless widened)
-    vdt = jax.tree_util.tree_leaves(f)[0].dtype
-    err0 = jnp.sqrt(jnp.abs(wdn))
-    errors = jnp.full(maxsteps + 1, jnp.nan, dtype)
-    s = w
-    threshold = tol * jnp.where(rel_err, err0, 1.0)
+        wdn = tdot_acc(w, d)
+        dtype = wdn.dtype  # accumulation dtype
+        vdt = vdt0
+        err0 = jnp.sqrt(jnp.abs(wdn))
+        errors = jnp.full(maxsteps + 1, jnp.nan, dtype)
+        s = w
+        threshold = tol * jnp.where(rel_err, err0, 1.0)
 
-    # first half-iteration pulled out of the loop so the recurrence
-    # ``matA_s = beta*matA_s + z_old - alpha*tmp2`` has valid carries
-    matA_s = A(s[0])
-    z0 = matA_s
+        # first half-iteration pulled out of the loop so the recurrence
+        # ``matA_s = beta*matA_s + z_old - alpha*tmp2`` has valid carries
+        matA_s = A(s[0])
+        z0 = matA_s
 
-    state = dict(
-        u=u, d=d, w=w, s=s, wdn=wdn, matA_s=matA_s, z0=z0,
-        z_old=tzeros_like(z0), tmp2=tzeros_like(z0),
-        alpha=jnp.zeros((), vdt), beta=jnp.zeros((), vdt),
-        it=jnp.zeros((), jnp.int32), errors=errors,
-        done=jnp.zeros((), bool),
-    )
+        state = dict(
+            u=u, d=d, w=w, s=s, wdn=wdn, matA_s=matA_s, z0=z0,
+            z_old=tzeros_like(z0), tmp2=tzeros_like(z0),
+            alpha=jnp.zeros((), vdt), beta=jnp.zeros((), vdt),
+            it=jnp.zeros((), jnp.int32), errors=errors,
+            done=jnp.zeros((), bool),
+        )
+    else:
+        state = dict(resume)
+        err0 = state.pop("err0")
+        threshold = tol * jnp.where(rel_err, err0, 1.0)
+        vdt = vdt0
+
+    it_start = state["it"]
+    if max_new_iterations is None:
+        it_stop = maxsteps
+    else:
+        it_stop = jnp.minimum(it_start + max_new_iterations, maxsteps)
 
     def cond(st):
-        return jnp.logical_not(st["done"]) & (st["it"] < maxsteps)
+        return jnp.logical_not(st["done"]) & (st["it"] < it_stop)
 
     def body(st):
         first = st["it"] == 0
@@ -247,7 +267,12 @@ def bramble_pasciak_cg_opt(
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    return SolverResult(
+    res = SolverResult(
         x=st["u"], iterations=st["it"] - 1, errors=st["errors"], err0=err0,
         converged=st["done"],
     )
+    if return_state:
+        out_state = dict(st)
+        out_state["err0"] = err0
+        return res, out_state
+    return res

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from navier_stokes_tpu.linalg import lanczos_eigenvalues
+from navier_stokes_tpu.solvers import bpcg
 from navier_stokes_tpu.solvers import (
     bramble_pasciak_cg,
     bramble_pasciak_cg_opt,
@@ -144,3 +145,39 @@ def test_deterministic_histories(spd_system):
     r2 = cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(b), tol=1e-10, maxsteps=200)
     e1, e2 = np.asarray(r1.errors), np.asarray(r2.errors)
     assert np.array_equal(e1[~np.isnan(e1)], e2[~np.isnan(e2)])
+
+
+def test_bpcg_opt_chunked_resume_is_exact():
+    """Chunked execution with resume state reproduces the one-shot solve
+    bitwise (needed because the TPU tunnel kills device executions beyond
+    ~60 s; bench.py runs the polish in warm-resumed chunks)."""
+    rng = np.random.default_rng(0)
+    n, m = 60, 20
+    Q = rng.standard_normal((n, n))
+    Amat = Q @ Q.T + n * np.eye(n)
+    Bmat = rng.standard_normal((m, n))
+    Aj, Bj = jnp.asarray(Amat), jnp.asarray(Bmat)
+    A = lambda u: Aj @ u
+    B = lambda u: Bj @ u
+    BT = lambda p: Bj.T @ p
+    d = jnp.asarray(1.0 / np.diag(Amat))
+    preA = lambda u: d * u
+    preM = lambda p: p
+    f = jnp.asarray(rng.standard_normal(n))
+    g = jnp.asarray(rng.standard_normal(m))
+    k, _ = bpcg.bp_scale_factor(A, preA, f)
+    one = bpcg.bramble_pasciak_cg_opt(
+        A, B, BT, preA, preM, f, g, tol=1e-10, maxsteps=500, scale_k=float(k)
+    )
+    res, st = bpcg.bramble_pasciak_cg_opt(
+        A, B, BT, preA, preM, f, g, tol=1e-10, maxsteps=500,
+        scale_k=float(k), return_state=True, max_new_iterations=15,
+    )
+    while not bool(res.converged):
+        res, st = bpcg.bramble_pasciak_cg_opt(
+            A, B, BT, preA, preM, f, g, tol=1e-10, maxsteps=500,
+            scale_k=float(k), resume=st, return_state=True,
+            max_new_iterations=15,
+        )
+    assert int(res.iterations) == int(one.iterations)
+    assert float(jnp.abs(res.x[0] - one.x[0]).max()) == 0.0
