@@ -206,11 +206,11 @@ def measure(device, mesh):
             for _outer in range(3):
                 if rel <= TOL:
                     break
-                reltol = jnp.asarray(0.2 * TOL / rel)
+                reltol = jnp.asarray(0.1 * TOL / rel)
                 res, st = phase2_start(x0, x1, reltol)
                 total_inner += int(res.iterations)
                 rounds = 1
-                while not bool(res.converged) and rounds < 16:
+                while not bool(res.converged) and rounds < 40:
                     if phase2_cont is None:
                         phase2_cont = hoisted_jit(
                             lambda state, rtol: bramble_pasciak_cg_opt(
