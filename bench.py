@@ -135,36 +135,34 @@ def measure(device, mesh):
             ),
             f_mod, g_mod,
         )
-        # f64 polish preconditioner: f64 ARITHMETIC (f32 arithmetic's
-        # rounding noise floors the outer true residual near 1e-6 through
-        # the BP transform) with f32-STORED tables (a fixed linear operator
-        # with rounded coefficients is harmless and halves the footprint
-        # that overflowed the worker at bench sizes)
-        from navier_stokes_tpu.models.auxspace3d import (
-            build_skeleton_preconditioner_3d,
-        )
+        # f64 polish: solve the CORRECTION equation A dz = r from zero in
+        # f64 vector arithmetic with the f32 skeleton preconditioner wrapped
+        # by congruence (A^{-1} ~ D preA~ D).  Posed on the residual, every
+        # quantity scales with ||r||, so the f32 preconditioner noise is
+        # RELATIVE (~1e-7) — warm-starting the FULL system instead injects
+        # it at the 1e-7 ABSOLUTE level and stalls short of 1e-8.  No f64
+        # preconditioner tables ever ship to the device.
+        preA32s = ops32["preA"]
 
-        preA64 = build_skeleton_preconditioner_3d(
-            m64.Xv, m64.A_cond_np, m64._dirich, jnp.float64,
-            coarse_coefficient=m64.nu, store_dtype=jnp.float32,
-        )
+        def preA64c(r):
+            return D * preA32s((D * r).astype(jnp.float32)).astype(jnp.float64)
 
-        # ~0.4 s per f64 iteration at 274k dofs: 60 its/chunk stays well
-        # under the ~60 s tunnel execution limit; resume makes the extra
-        # chunk boundaries free (bitwise-equal to one long run)
-        CHUNK64 = 60
+        # ~0.2 s per f64 iteration at 274k dofs with the f32 pre: 150
+        # its/chunk stays well under the ~60 s tunnel execution limit;
+        # resume makes chunk boundaries free (bitwise-equal to one run)
+        CHUNK64 = 150
         P2_TOTAL = 2400
         from navier_stokes_tpu.solvers.bpcg import bp_scale_factor
 
-        get_k = hoisted_jit(lambda: bp_scale_factor(m64.A, preA64, f_mod)[0])
+        get_k = hoisted_jit(lambda: bp_scale_factor(m64.A, preA64c, f_mod)[0])
         k64 = float(get_k())
         phase2_start = hoisted_jit(
-            lambda u0, p0, reltol: bramble_pasciak_cg_opt(
-                m64.A, m64.B, m64.BT, preA64, m64.preM, f_mod, g_mod,
-                sol=(u0, p0), tol=reltol, maxsteps=P2_TOTAL, rel_err=True,
+            lambda r0, r1: bramble_pasciak_cg_opt(
+                m64.A, m64.B, m64.BT, preA64c, m64.preM, r0, r1,
+                tol=1e-4, maxsteps=P2_TOTAL, rel_err=True,
                 scale_k=k64, return_state=True, max_new_iterations=CHUNK64,
             ),
-            f_mod, g_mod, jnp.zeros(()),
+            f_mod, g_mod,
         )
         phase2_cont = None  # built from the first state's pytree shape
 
@@ -203,32 +201,33 @@ def measure(device, mesh):
             # is the BP-energy norm relative to ITS OWN start, so aim a
             # margin below the needed reduction.
             nonlocal phase2_cont
-            for _outer in range(3):
+            for _outer in range(4):
                 if rel <= TOL:
                     break
-                reltol = jnp.asarray(0.1 * TOL / rel)
-                res, st = phase2_start(x0, x1, reltol)
+                r0, r1 = residual64(x0, x1)
+                res, st = phase2_start(r0, r1)
                 total_inner += int(res.iterations)
                 rounds = 1
-                while not bool(res.converged) and rounds < 40:
+                while not bool(res.converged) and rounds < 16:
                     if phase2_cont is None:
                         phase2_cont = hoisted_jit(
-                            lambda state, rtol: bramble_pasciak_cg_opt(
-                                m64.A, m64.B, m64.BT, preA64, m64.preM,
-                                f_mod, g_mod, tol=rtol, maxsteps=P2_TOTAL,
+                            lambda state, rr0, rr1: bramble_pasciak_cg_opt(
+                                m64.A, m64.B, m64.BT, preA64c, m64.preM,
+                                rr0, rr1, tol=1e-4, maxsteps=P2_TOTAL,
                                 rel_err=True, scale_k=k64, resume=state,
                                 return_state=True,
                                 max_new_iterations=CHUNK64,
                             ),
-                            st, reltol,
+                            st, r0, r1,
                         )
                     it_before = int(res.iterations)
-                    res, st = phase2_cont(st, reltol)
+                    res, st = phase2_cont(st, r0, r1)
                     total_inner += int(res.iterations) - it_before
                     rounds += 1
-                x0, x1 = res.x
-                r0, r1 = residual64(x0, x1)
-                rel = true_rel(r0, r1)
+                x0 = x0 + res.x[0]
+                x1 = x1 + res.x[1]
+                r0n, r1n = residual64(x0, x1)
+                rel = true_rel(r0n, r1n)
             return (x0, x1), rel, total_inner
 
         x, rel, inner = full_solve()  # compile + warmup
