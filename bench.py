@@ -180,6 +180,7 @@ def measure(device, mesh):
             for _pass in range(8):
                 r0, r1 = residual64(x0, x1)
                 new_rel = true_rel(r0, r1)
+                log(f"  p1 pass {_pass}: rel={new_rel:.3e}")
                 if new_rel <= TOL or (_pass > 0 and new_rel > 0.7 * rel):
                     rel = min(rel, new_rel)
                     break
@@ -228,6 +229,7 @@ def measure(device, mesh):
                 x1 = x1 + res.x[1]
                 r0n, r1n = residual64(x0, x1)
                 rel = true_rel(r0n, r1n)
+                log(f"  p2 outer {_outer}: rel={rel:.3e} (+{rounds} chunks)")
             return (x0, x1), rel, total_inner
 
         x, rel, inner = full_solve()  # compile + warmup
