@@ -154,16 +154,24 @@ def measure(device, mesh):
         P2_TOTAL = 2400
         from navier_stokes_tpu.solvers.bpcg import bp_scale_factor
 
-        get_k = hoisted_jit(lambda: bp_scale_factor(m64.A, preA64c, f_mod)[0])
-        k64 = float(get_k())
-        phase2_start = hoisted_jit(
-            lambda r0, r1: bramble_pasciak_cg_opt(
-                m64.A, m64.B, m64.BT, preA64c, m64.preM, r0, r1,
-                tol=1e-4, maxsteps=P2_TOTAL, rel_err=True,
-                scale_k=k64, return_state=True, max_new_iterations=CHUNK64,
-            ),
-            f_mod, g_mod,
-        )
+        get_k = hoisted_jit(lambda: bp_scale_factor(m64.A, preA64c, f_mod))
+        k_est, cond64 = (float(v) for v in get_k())
+        log(f"  p2 scale estimate k={k_est:.3f} cond={cond64:.1f}")
+
+        def build_phase2(k_val):
+            start = hoisted_jit(
+                lambda r0, r1: bramble_pasciak_cg_opt(
+                    m64.A, m64.B, m64.BT, preA64c, m64.preM, r0, r1,
+                    tol=1e-4, maxsteps=P2_TOTAL, rel_err=True,
+                    scale_k=k_val, return_state=True,
+                    max_new_iterations=CHUNK64,
+                ),
+                f_mod, g_mod,
+            )
+            return start
+
+        phase2_k = 1.25 * k_est  # extra margin on the device-side estimate
+        phase2_start = build_phase2(phase2_k)
         phase2_cont = None  # built from the first state's pytree shape
 
         def true_rel(r0, r1):
@@ -201,10 +209,10 @@ def measure(device, mesh):
             # under the tunnel's execution limit).  BPCG's internal error
             # is the BP-energy norm relative to ITS OWN start, so aim a
             # margin below the needed reduction.
-            nonlocal phase2_cont
-            for _outer in range(4):
-                if rel <= TOL:
-                    break
+            nonlocal phase2_start, phase2_cont, phase2_k
+            retries = 0
+            _outer = 0
+            while _outer < 6 and rel > TOL:
                 r0, r1 = residual64(x0, x1)
                 res, st = phase2_start(r0, r1)
                 total_inner += int(res.iterations)
@@ -215,8 +223,8 @@ def measure(device, mesh):
                             lambda state, rr0, rr1: bramble_pasciak_cg_opt(
                                 m64.A, m64.B, m64.BT, preA64c, m64.preM,
                                 rr0, rr1, tol=1e-4, maxsteps=P2_TOTAL,
-                                rel_err=True, scale_k=k64, resume=state,
-                                return_state=True,
+                                rel_err=True, scale_k=phase2_k,
+                                resume=state, return_state=True,
                                 max_new_iterations=CHUNK64,
                             ),
                             st, r0, r1,
@@ -225,11 +233,26 @@ def measure(device, mesh):
                     res, st = phase2_cont(st, r0, r1)
                     total_inner += int(res.iterations) - it_before
                     rounds += 1
-                x0 = x0 + res.x[0]
-                x1 = x1 + res.x[1]
-                r0n, r1n = residual64(x0, x1)
-                rel = true_rel(r0n, r1n)
-                log(f"  p2 outer {_outer}: rel={rel:.3e} (+{rounds} chunks)")
+                x0n = x0 + res.x[0]
+                x1n = x1 + res.x[1]
+                r0n, r1n = residual64(x0n, x1n)
+                new_rel = true_rel(r0n, r1n)
+                log(f"  p2 outer {_outer}: rel={new_rel:.3e} (+{rounds} chunks)")
+                if new_rel >= 0.9 * rel:
+                    # diverged or stalled: the Bramble-Pasciak transform is
+                    # indefinite when the scale underestimates 1/lambda_min
+                    # (the device-side Lanczos estimate can be off) — double
+                    # the scale and rebuild
+                    if retries >= 2:
+                        break
+                    retries += 1
+                    phase2_k *= 2.0
+                    log(f"  p2 retry with k={phase2_k:.3f}")
+                    phase2_start = build_phase2(phase2_k)
+                    phase2_cont = None
+                    continue
+                x0, x1, rel = x0n, x1n, new_rel
+                _outer += 1
             return (x0, x1), rel, total_inner
 
         x, rel, inner = full_solve()  # compile + warmup
