@@ -5,16 +5,28 @@ matched residual 1e-8 on the 3D SIMPLE benchmark) measured on the FLAGSHIP
 model: NavierStokesMCS on the reference's 3D channel-with-cylinder geometry
 (/root/reference/templates/NavierStokesSIMPLE_test_3D.py:8-25), BDM_2
 H(div) x tangential facet x H(curl,div) stress with batched static
-condensation, solved the TPU-native way — mixed-precision iterative
-refinement: float32 Bramble-Pasciak CG inner solves with the
-skeleton/edge-star auxiliary-space preconditioner, float64 outer residuals
-(TPU v5e emulates f64 ~15x slower, so refinement replaces one emulated-f64
-solve with two to three native-f32 solves).  The identical jitted program
-runs on the JAX-CPU backend as the baseline.
+condensation, solved the TPU-native way:
+
+* phase 1 — float32 MINRES refinement passes on the Jacobi-equilibrated,
+  split (compensated) f32 system with the skeleton/edge-star aux-space
+  preconditioner; all applies SCATTER-FREE face-block kernels
+  (ops/faceblock.py; the round-2 gather/scatter formulation measured
+  7.0 ms per A-apply vs 1.0 ms now).
+* phase 2 — MINRES refinement passes on the same equilibrated system with
+  float64 Krylov vectors and DOUBLE-SINGLE matvecs (three f32 element
+  einsums represent the f64 operator product; the round-2 phase 2 paid
+  ~0.2 s/iteration in emulated-f64 applies).  MINRES, not BPCG: the
+  optimized Bramble-Pasciak recurrence amortizes A*s across the whole
+  iteration and the ~1e-7 double-single apply noise makes its internal
+  error measure drift from the true residual by ~400x (measured), while
+  MINRES tracks it exactly.  Outer residuals use the true emulated-f64
+  operator, so the reported residual is exact.
+
+The identical jitted program runs on the JAX-CPU backend as the baseline.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-value = inner BPCG iterations/sec; vs_baseline = CPU wall / device wall
+value = inner Krylov iterations/sec; vs_baseline = CPU wall / device wall
 for the same solve (>1 means faster than CPU).
 """
 
@@ -83,35 +95,27 @@ def measure(device, mesh):
         "jax_default_matmul_precision",
         "highest" if device.platform == "tpu" else None,
     )
-    from navier_stokes_tpu.solvers.bpcg import bramble_pasciak_cg_opt
+    from navier_stokes_tpu.solvers.minres import minres
     from navier_stokes_tpu.utils.jaxtools import hoisted_jit
 
     with jax.default_device(device):
         t0 = time.perf_counter()
-        m64 = build(mesh, jnp.float64, "faceblock")  # preA built lazily;
-        # phase 2 reuses the f32 skeleton preconditioner (below), so no
-        # f64 preconditioner tables ever ship to the device
-        ops64 = dict(A=m64.A, B=m64.B, BT=m64.BT)
-        # Jacobi-equilibrated, SPLIT (compensated) f32 inner system: the
-        # condensed matrix's diagonal spans ~1e12 (element anisotropy), and
-        # the split-matrix matvec removes the e_f32*kappa representation
-        # error that otherwise floors refinement at ~1e-4
-        ops32, D = equilibrated_f32_ops(m64, gs=False, split=True)
+        m64 = build(mesh, jnp.float64, "faceblock")  # preA built lazily
+        # Jacobi-equilibrated SPLIT f32 inner system + double-single ops
+        # for the polish: no f64 operator tables ever ship to the device
+        ops32, D, ops_ds = equilibrated_f32_ops(
+            m64, gs=False, split=True, with_ds=True
+        )
         f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
         g_mod = -m64.B_raw(m64.u_bc)
         rhs_norm = float(jnp.sqrt(jnp.vdot(f_mod, f_mod) + jnp.vdot(g_mod, g_mod)))
         log(f"{device.platform} setup {time.perf_counter() - t0:.1f}s "
             f"ndof={m64.n}+{m64.Q.ndof}")
 
-        # phase 1: f32 MINRES refinement passes (stable ~3e-6 floor);
-        # phase 2: warm-started f64 BPCG polish for the last digits.
-        # hoisted_jit: operator tables travel as runtime buffers, not
-        # constants baked into the remote-compile payload.  Device
-        # executions are CHUNKED (<=400 Krylov its per call): the axon
-        # tunnel kills executions running longer than ~60 s (measured:
-        # a 49 s call survives, a ~75 s call takes the worker down).
-        from navier_stokes_tpu.solvers.minres import minres
-
+        # Device executions are CHUNKED: the axon tunnel kills executions
+        # running longer than ~60 s.  With the face-block applies one
+        # Krylov iteration is a few ms, so 2000-iteration chunks stay far
+        # below the limit.
         def K32(x):
             u, p = x
             return (ops32["A"](u) + ops32["BT"](p), ops32["B"](u))
@@ -119,7 +123,7 @@ def measure(device, mesh):
         def pre32(x):
             return (ops32["preA"](x[0]), ops32["preM"](x[1]))
 
-        CHUNK32 = 400
+        CHUNK32 = int(os.environ.get("BENCH_CHUNK32", "2000"))
         z32 = jnp.zeros_like(f_mod, jnp.float32)
         zp32 = jnp.zeros_like(g_mod, jnp.float32)
         minres_chunk = hoisted_jit(
@@ -135,44 +139,38 @@ def measure(device, mesh):
             ),
             f_mod, g_mod,
         )
-        # f64 polish: solve the CORRECTION equation A dz = r from zero in
-        # f64 vector arithmetic with the f32 skeleton preconditioner wrapped
-        # by congruence (A^{-1} ~ D preA~ D).  Posed on the residual, every
-        # quantity scales with ||r||, so the f32 preconditioner noise is
-        # RELATIVE (~1e-7) — warm-starting the FULL system instead injects
-        # it at the 1e-7 ABSOLUTE level and stalls short of 1e-8.  No f64
-        # preconditioner tables ever ship to the device.
+        # phase 2: MINRES on the equilibrated CORRECTION system
+        # A~ dz~ = D r0 with f64 vectors, double-single matvecs and the f32
+        # skeleton preconditioner applied through casts.  Posed on the
+        # residual, every quantity scales with ||r||, so the f32
+        # preconditioner noise and the ~1e-7 matvec accumulation noise are
+        # RELATIVE — each outer pass contracts the true residual by its
+        # inner tolerance.  Solution map: dx0 = D dz~, dx1 = dz1.
         preA32s = ops32["preA"]
 
-        def preA64c(r):
-            return D * preA32s((D * r).astype(jnp.float32)).astype(jnp.float64)
+        def preA64(r):
+            return preA32s(r.astype(jnp.float32)).astype(jnp.float64)
 
-        # ~0.2 s per f64 iteration at 274k dofs with the f32 pre: 150
-        # its/chunk stays well under the ~60 s tunnel execution limit;
-        # resume makes chunk boundaries free (bitwise-equal to one run)
-        CHUNK64 = 150
-        P2_TOTAL = 2400
-        from navier_stokes_tpu.solvers.bpcg import bp_scale_factor
+        def preM64(p):
+            return ops32["preM"](p.astype(jnp.float32)).astype(jnp.float64)
 
-        get_k = hoisted_jit(lambda: bp_scale_factor(m64.A, preA64c, f_mod))
-        k_est, cond64 = (float(v) for v in get_k())
-        log(f"  p2 scale estimate k={k_est:.3f} cond={cond64:.1f}")
+        def K_ds(x):
+            u, p = x
+            return (ops_ds["A"](u) + ops_ds["BT"](p), ops_ds["B"](u))
 
-        def build_phase2(k_val):
-            start = hoisted_jit(
-                lambda r0, r1: bramble_pasciak_cg_opt(
-                    m64.A, m64.B, m64.BT, preA64c, m64.preM, r0, r1,
-                    tol=1e-4, maxsteps=P2_TOTAL, rel_err=True,
-                    scale_k=k_val, return_state=True,
-                    max_new_iterations=CHUNK64,
-                ),
-                f_mod, g_mod,
-            )
-            return start
+        def pre_ds(x):
+            return (preA64(x[0]), preM64(x[1]))
 
-        phase2_k = 1.25 * k_est  # extra margin on the device-side estimate
-        phase2_start = build_phase2(phase2_k)
-        phase2_cont = None  # built from the first state's pytree shape
+        CHUNK64 = int(os.environ.get("BENCH_CHUNK64", "1500"))
+        z64 = jnp.zeros_like(f_mod)
+        zp64 = jnp.zeros_like(g_mod)
+        minres_ds_chunk = hoisted_jit(
+            lambda r0, r1, x0, x1: minres(
+                K_ds, (r0, r1), pre=pre_ds, sol=(x0, x1),
+                initialize=False, tol=1e-4, maxsteps=CHUNK64,
+            ),
+            z64, zp64, z64, zp64,
+        )
 
         def true_rel(r0, r1):
             return float(
@@ -204,53 +202,31 @@ def measure(device, mesh):
                         break
                 x0 = x0 + D * dx0.astype(jnp.float64)
                 x1 = x1 + dx1.astype(jnp.float64)
-            # phase 2: warm-started f64 BPCG polish in EXACTLY-resumed
-            # chunks (bitwise equal to one long run; each device call stays
-            # under the tunnel's execution limit).  BPCG's internal error
-            # is the BP-energy norm relative to ITS OWN start, so aim a
-            # margin below the needed reduction.
-            nonlocal phase2_start, phase2_cont, phase2_k
-            retries = 0
+            # phase 2: double-single MINRES refinement passes on the
+            # equilibrated correction system (warm-restarted chunks)
             _outer = 0
             while _outer < 6 and rel > TOL:
                 r0, r1 = residual64(x0, x1)
-                res, st = phase2_start(r0, r1)
-                total_inner += int(res.iterations)
-                rounds = 1
-                while not bool(res.converged) and rounds < 16:
-                    if phase2_cont is None:
-                        phase2_cont = hoisted_jit(
-                            lambda state, rr0, rr1: bramble_pasciak_cg_opt(
-                                m64.A, m64.B, m64.BT, preA64c, m64.preM,
-                                rr0, rr1, tol=1e-4, maxsteps=P2_TOTAL,
-                                rel_err=True, scale_k=phase2_k,
-                                resume=state, return_state=True,
-                                max_new_iterations=CHUNK64,
-                            ),
-                            st, r0, r1,
-                        )
-                    it_before = int(res.iterations)
-                    res, st = phase2_cont(st, r0, r1)
-                    total_inner += int(res.iterations) - it_before
+                r0s = D * r0
+                dx0, dx1 = z64, zp64
+                rounds = 0
+                res = None
+                while rounds < 6:
+                    res = minres_ds_chunk(r0s, r1, dx0, dx1)
+                    dx0, dx1 = res.x
+                    total_inner += int(res.iterations)
                     rounds += 1
-                x0n = x0 + res.x[0]
-                x1n = x1 + res.x[1]
+                    if bool(res.converged):
+                        break
+                x0n = x0 + D * dx0
+                x1n = x1 + dx1
                 r0n, r1n = residual64(x0n, x1n)
                 new_rel = true_rel(r0n, r1n)
                 log(f"  p2 outer {_outer}: rel={new_rel:.3e} (+{rounds} chunks)")
                 if new_rel >= 0.9 * rel:
-                    # diverged or stalled: the Bramble-Pasciak transform is
-                    # indefinite when the scale underestimates 1/lambda_min
-                    # (the device-side Lanczos estimate can be off) — double
-                    # the scale and rebuild
-                    if retries >= 2:
-                        break
-                    retries += 1
-                    phase2_k *= 2.0
-                    log(f"  p2 retry with k={phase2_k:.3f}")
-                    phase2_start = build_phase2(phase2_k)
-                    phase2_cont = None
-                    continue
+                    # stalled at the double-single noise floor — accept the
+                    # best iterate (the monotonicity guard keeps x)
+                    break
                 x0, x1, rel = x0n, x1n, new_rel
                 _outer += 1
             return (x0, x1), rel, total_inner
@@ -307,7 +283,7 @@ def main():
         "value": round(ips, 2),
         "unit": (
             f"inner Krylov iterations/sec (split-f32 MINRES refinement + "
-            f"f64 BPCG polish), 3D MCS channel maxh={MAXH}, "
+            f"double-single BPCG polish), 3D MCS channel maxh={MAXH}, "
             f"wall={t_main:.3f}s to f64 rel residual {TOL} on "
             f"{main_dev.platform}"
         ),

@@ -195,6 +195,7 @@ def build_skeleton_preconditioner_3d(
     coarse_coefficient: float = 1.0, gs: bool = False,
     dof_scale: np.ndarray | None = None,
     store_dtype=None,
+    fast: bool = True,
 ):
     """Condensation-aware preconditioner for the 3D condensed MCS/HDG
     operator: exact batched solve of the element-interior block, an
@@ -239,12 +240,6 @@ def build_skeleton_preconditioner_3d(
 
     free = jnp.asarray(V.free_mask)
     fmask = V.free_mask
-    blks = [
-        np.asarray([d for d in b if fmask[d]], np.int32)
-        for b in _edge_star_skeleton_blocks(V)
-    ]
-    blks = [b for b in blks if len(b)]
-    dofs, mats = extract_blocks_from_local(S_loc, eldofs_skel, blks, nV)
 
     # coarse: vector-P1 embedding (full-space transfer; the extension E
     # overwrites its interior completion with the exact harmonic one)
@@ -268,8 +263,6 @@ def build_skeleton_preconditioner_3d(
             c = T(jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1))
             return Dinv * c
 
-    eldofs_skel_j = jnp.asarray(eldofs_skel)
-    int_dofs_j = jnp.asarray(int_dofs)
     # ``store_dtype``: table STORAGE precision.  f32-stored tables applied
     # in f64 vector arithmetic stay a FIXED linear operator (a
     # preconditioner with rounded coefficients is harmless), halving the
@@ -277,8 +270,27 @@ def build_skeleton_preconditioner_3d(
     # whose nonlinear rounding noise floors the true residual of the outer
     # Bramble-Pasciak iteration near 1e-6.
     sdt = store_dtype or dtype
-    AinvAis_j = jnp.asarray(AinvAis, sdt)
     A_ii_inv_j = jnp.asarray(A_ii_inv, sdt)
+
+    if fast:
+        # scatter-free face-block formulation (ops/faceblock.py): every
+        # index op a block-row gather — the dof-level gather/scatter
+        # formulation below is ~7x slower per apply on TPU (round-3
+        # microbenchmark, scripts/microbench_apply.py)
+        return _build_skeleton_fast(
+            V, free, fmask, AinvAis, A_ii_inv_j, S_loc, coarse, gs, sdt,
+        )
+
+    blks = [
+        np.asarray([d for d in b if fmask[d]], np.int32)
+        for b in _edge_star_skeleton_blocks(V)
+    ]
+    blks = [b for b in blks if len(b)]
+    dofs, mats = extract_blocks_from_local(S_loc, eldofs_skel, blks, nV)
+
+    eldofs_skel_j = jnp.asarray(eldofs_skel)
+    int_dofs_j = jnp.asarray(int_dofs)
+    AinvAis_j = jnp.asarray(AinvAis, sdt)
     S_loc_j = jnp.asarray(S_loc, sdt)
 
     def ext(y):
@@ -338,6 +350,96 @@ def build_skeleton_preconditioner_3d(
     return preA
 
 
+def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv_j, S_loc,
+                         coarse, gs, sdt):
+    """Face-block (scatter-free) rendering of the skeleton preconditioner:
+    same math as the slow path — exact interior solve + edge-star smoother
+    (additive or symmetric multi-color GS) + aux-space coarse on the
+    skeleton Schur complement — with every gather a block-row slice."""
+    from ..ops.faceblock import FaceBlockLayout, face_star_smoother
+
+    lay = FaceBlockLayout(V)
+    S_perm_np = lay.permute_skel_blocks(S_loc)
+    AinvAis_perm = jnp.asarray(AinvAis[:, :, lay.perm_skel], sdt)
+    sm = face_star_smoother(lay, S_perm_np, np.asarray(fmask), sdt)
+    freeF = sm.freeF
+    ne, n_int = lay.ne, lay.n_int
+
+    def ext_fb(yF, yi_ignored=None):
+        """Interiors from skeleton values (face layout)."""
+        ys = yF[lay.efaces].reshape(ne, lay.n_skel)
+        return -jnp.einsum("eis,es->ei", AinvAis_perm, ys)
+
+    def extT_fb(xF, xi):
+        """Fold interior residual into the skeleton (face layout)."""
+        rs = -jnp.einsum("eis,ei->es", AinvAis_perm, xi)
+        return xF + lay.scatter_skel(rs)
+
+    if gs:
+        from ..precond.multicolor import color_blocks, damped_coarse
+
+        S_perm_j = jnp.asarray(S_perm_np, sdt)
+
+        def S_faces(xF):
+            """Skeleton operator purely in face layout (free-masked)."""
+            xF = jnp.where(freeF, xF, 0.0)
+            ue = xF[lay.efaces].reshape(ne, lay.n_skel)
+            ye = jnp.einsum("eij,ej->ei", S_perm_j, ue)
+            return jnp.where(freeF, lay.scatter_skel(ye), 0.0)
+
+        # color edge-stars so same-color blocks are operator-decoupled
+        # (they must not touch a common element; see precond/multicolor.py)
+        nfb = lay.nfb
+        blocks_fb = [
+            (np.asarray(f)[:, None] * nfb + np.arange(nfb)[None, :]).ravel()
+            for f in sm.block_faces
+        ]
+        colors = color_blocks(blocks_fb, lay.nface * nfb, lay.eldofs_fb)
+        groups = sm.color_groups(colors)
+
+        def coarse_faces(rF):
+            r = lay.join(rF, jnp.zeros((ne, n_int), rF.dtype))
+            yF, _ = lay.split(coarse(r))
+            return jnp.where(freeF, yF, 0.0)
+
+        rng = np.random.default_rng(7)
+        exF = jnp.asarray(
+            rng.standard_normal((lay.nface, nfb)), sdt
+        ) * freeF
+        coarse_gs, _, _ = damped_coarse(coarse_faces, S_faces, exF)
+
+        def pre_skel_faces(xF):
+            y = jnp.zeros_like(xF)
+            for g in groups:  # forward sweep
+                r = xF - S_faces(y)
+                y = y + sm.solve_color(g, r)
+            r = xF - S_faces(y)
+            y = y + coarse_gs(r)
+            for g in reversed(groups):  # backward sweep
+                r = xF - S_faces(y)
+                y = y + sm.solve_color(g, r)
+            return y
+
+    else:
+
+        def pre_skel_faces(xF):
+            yF = sm.smooth_faces(xF)
+            r = lay.join(xF, jnp.zeros((ne, n_int), xF.dtype))
+            cF, _ = lay.split(coarse(r))
+            return yF + jnp.where(freeF, cF, 0.0)
+
+    def preA(x):
+        xf = jnp.where(free, x, 0.0)
+        xF, xi = lay.split(xf)
+        rF = jnp.where(freeF, extT_fb(xF, xi), 0.0)
+        yF = pre_skel_faces(rF)
+        yi = ext_fb(yF) + jnp.einsum("eij,ej->ei", A_ii_inv_j, xi)
+        y = lay.join(yF, yi)
+        return jnp.where(free, y, x)
+
+    return preA
+
+
 def build_auxspace_preconditioner_3d(
     V, A_np, velocity_dirichlet: str, dtype=jnp.float64,
     coarse_coefficient: float = 1.0, blocks: str = "vertexstar",
@@ -378,7 +480,7 @@ def build_auxspace_preconditioner_3d(
         )
 
         assert A_apply is not None, "gs=True needs the masked operator"
-        colors = color_blocks(blks, nV, eldofs_skel)
+        colors = color_blocks(blks, nV, np.asarray(V.element_dofs))
         mgs = MulticolorGS(dofs, mats, colors, nV, dtype)
         return symmetric_gs_preconditioner(mgs, A_apply, coarse, free)
 

@@ -559,7 +559,20 @@ class NavierStokesMCS:
         self.n = n
         self.eldofs = jnp.asarray(self.Xv.element_dofs)
         self.free = jnp.asarray(self.Xv.free_mask)
-        A_cond = jnp.asarray(self.A_cond_np, dtype)
+        if mesh.dim == 3:
+            # scatter-free face-block applies (ops/faceblock.py): the
+            # gather/scatter formulation measured 7.0 ms per A-apply at
+            # bench shapes vs 1.05 ms for the face-block one (VERDICT.md
+            # round-2 weakness 1) — element blocks ship PERMUTED
+            from ..ops.faceblock import FaceBlockLayout
+
+            self.fb = FaceBlockLayout(self.Xv)
+            A_cond = jnp.asarray(
+                self.fb.permute_blocks(self.A_cond_np), dtype
+            )
+        else:
+            self.fb = None
+            A_cond = jnp.asarray(self.A_cond_np, dtype)
         self._A_cond = A_cond
 
         if mesh.dim == 2 and geometry is None:
@@ -596,35 +609,61 @@ class NavierStokesMCS:
 
         free, eldofs = self.free, self.eldofs
 
-        def A_raw(u):
-            return asm.apply_local_matrices(A_cond, eldofs, n, u)
+        if self.fb is not None:
+            _A_apply = self.fb.elem_apply(A_cond)
+            # _B_loc keeps the FLAT element-local order (host assembly in
+            # tests/ddshard reads it); the face-major copy feeds the apply
+            self._B_perm = jnp.asarray(
+                self.fb.permute_cols(np.asarray(self._B_loc)), dtype
+            )
+            self._B_loc = jnp.asarray(np.asarray(self._B_loc), dtype)
+            _B_apply, _BT_apply = self.fb.rect_apply(
+                self._B_perm, self.Q.element_dofs, self.Q.ndof
+            )
+
+            def A_raw(u):
+                return _A_apply(u)
+
+            def mass_raw(u):
+                return self.fb.elem_apply(self._M_loc)(u)
+
+            def B_raw(u):
+                return _B_apply(u)
+
+            def BT(p):
+                return jnp.where(free, _BT_apply(p), 0.0)
+
+        else:
+
+            def A_raw(u):
+                return asm.apply_local_matrices(A_cond, eldofs, n, u)
+
+            def mass_raw(u):
+                # mass tables ship to device lazily: the steady SolveInitial
+                # path never touches them (device memory at bench sizes)
+                return asm.apply_local_matrices(self._M_loc, eldofs, n, u)
+
+            def B_raw(u):
+                ue = u[eldofs]
+                pe = jnp.einsum("epi,ei->ep", self._B_loc, ue, optimize=True)
+                return asm.scatter_add(pe, self.eldofs_p, self.Q.ndof)
+
+            def BT(p):
+                pe = p[self.eldofs_p]
+                ue = jnp.einsum("epi,ep->ei", self._B_loc, pe, optimize=True)
+                return jnp.where(free, asm.scatter_add(ue, eldofs, n), 0.0)
 
         def A(u):
             uf = jnp.where(free, u, 0.0)
             return jnp.where(free, A_raw(uf), u)
-
-        def mass_raw(u):
-            # the mass tables ship to device lazily: the steady SolveInitial
-            # path never touches them (device memory at bench sizes)
-            return asm.apply_local_matrices(self._M_loc, eldofs, n, u)
 
         def mstar(u):
             uf = jnp.where(free, u, 0.0)
             y = mass_raw(uf) + timestep * A_raw(uf)
             return jnp.where(free, y, u)
 
-        def B_raw(u):
-            ue = u[eldofs]
-            pe = jnp.einsum("epi,ei->ep", self._B_loc, ue, optimize=True)
-            return asm.scatter_add(pe, self.eldofs_p, self.Q.ndof)
-
         def B(u):
             return B_raw(jnp.where(free, u, 0.0))
-
-        def BT(p):
-            pe = p[self.eldofs_p]
-            ue = jnp.einsum("epi,ep->ei", self._B_loc, pe, optimize=True)
-            return jnp.where(free, asm.scatter_add(ue, eldofs, n), 0.0)
 
         self.A, self.A_raw, self.mstar = A, A_raw, mstar
         self.B, self.B_raw, self.BT = B, B_raw, BT
@@ -714,8 +753,11 @@ class NavierStokesMCS:
             # materialization CONCRETE even when first touched inside a jit
             # trace (a traced constant would leak out of the trace)
             np_dt = np.dtype(self.dtype.__name__)
+            M = self._M_loc_np
+            if self.fb is not None:
+                M = self.fb.permute_blocks(np.asarray(M))
             with jax.ensure_compile_time_eval():
-                self._M_loc_j = jnp.asarray(np.asarray(self._M_loc_np, np_dt))
+                self._M_loc_j = jnp.asarray(np.asarray(M, np_dt))
         return self._M_loc_j
 
     def convection(self, u):

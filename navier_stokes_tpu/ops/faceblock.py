@@ -1,0 +1,513 @@
+"""Scatter-free face-block applies for 3D hybrid [H(div) | facet] operators.
+
+The hot loop of the flagship solve (the BPCG/MINRES iteration of
+/root/reference/solvers/bramblepasciak_new.py:200-241) applies per-element
+dense blocks through gather -> batched matvec -> scatter-add.  XLA lowers
+the 0.4M scalar gathers + scatter-adds of that formulation essentially
+serially on TPU: measured 7.0 ms per apply at bench shapes (ne=7740,
+nb=54, 90 MB of blocks) against a ~0.11 ms HBM-bandwidth bound — the MXU
+and the memory system both idle while indices trickle (VERDICT.md round-2
+weakness 1).
+
+This module removes every scalar index op from the apply by exploiting the
+structure of the 3D hybrid dof layout:
+
+* H(div) face dofs are CONTIGUOUS per mesh face (fem/hdiv3d.py), facet
+  dofs are contiguous per face, and element-interior dofs are contiguous
+  per element.  Viewing the dof vector as a (nface, nfb) face-block matrix
+  (nfb = hdiv-face + facet dofs) plus an (ne, n_int) interior matrix, the
+  element gather becomes FOUR block-row gathers (slice size nfb) and the
+  interior part a plain reshape.
+* the scatter-add is replaced by its transpose gather: every face receives
+  contributions from at most TWO (element, local-face) slots, so the
+  assembled result is two block-row gathers and an add — no scatter, no
+  collision serialization.
+
+The element-local matrices are permuted ONCE at setup into face-major
+order (columns grouped per face), so at apply time the whole operator is:
+reshape -> 4-row block gather -> one batched dense matvec (streams the
+element blocks at HBM bandwidth) -> 2-row block gather -> reshape.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["FaceBlockLayout", "face_star_smoother", "FaceStarSmoother"]
+
+
+class FaceBlockLayout:
+    """Index plan for scatter-free applies on a HybridVelocitySpace3D.
+
+    All jnp members are device constants captured by the apply closures;
+    all construction is host-side numpy.
+    """
+
+    def __init__(self, Xv):
+        mesh = Xv.mesh
+        V, F = Xv.hdiv, Xv.facet
+        self.mesh = mesh
+        self.nfd_v = V.n_face_dofs
+        self.n_int = V.bases[0].n_cell
+        self.nfd_f = F.n_face
+        self.nfb = self.nfd_v + self.nfd_f
+        self.ne, self.nface = mesh.ne, mesh.nface
+        self.off_c = self.nface * self.nfd_v
+        self.nhd = V.ndof
+        self.n = Xv.ndof
+        self.nb = 4 * self.nfd_v + self.n_int + 4 * self.nfd_f
+        self.n_skel = 4 * self.nfb
+
+        nfd_v, n_int, nfd_f, nfb = self.nfd_v, self.n_int, self.nfd_f, self.nfb
+
+        # element-local permutation: flat order [4 x nfd_v hdiv | n_int |
+        # 4 x nfd_f facet] -> face-major [face0 (hdiv+facet) ... face3 | int]
+        self.perm = np.concatenate(
+            [
+                np.concatenate(
+                    [lf * nfd_v + np.arange(nfd_v),
+                     4 * nfd_v + n_int + lf * nfd_f + np.arange(nfd_f)]
+                )
+                for lf in range(4)
+            ]
+            + [4 * nfd_v + np.arange(n_int)]
+        )
+        # skeleton-only permutation: [4 x nfd_v | 4 x nfd_f] -> face-major
+        self.perm_skel = np.concatenate(
+            [
+                np.concatenate(
+                    [lf * nfd_v + np.arange(nfd_v),
+                     4 * nfd_v + lf * nfd_f + np.arange(nfd_f)]
+                )
+                for lf in range(4)
+            ]
+        )
+
+        efaces = np.asarray(mesh.element_faces)
+        # transpose-gather plan: face -> its <=2 (element*4+lf) slots
+        flat = efaces.ravel()
+        order = np.argsort(flat, kind="stable").astype(np.int64)
+        counts = np.bincount(flat, minlength=self.nface)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pos = np.full((self.nface, 2), self.ne * 4, np.int64)
+        pos[counts >= 1, 0] = order[starts[:-1][counts >= 1]]
+        pos[counts >= 2, 1] = order[starts[:-1][counts >= 2] + 1]
+        self.efaces = jnp.asarray(efaces, jnp.int32)
+        self.pos = jnp.asarray(pos, jnp.int32)
+
+    # -- host helpers ---------------------------------------------------
+
+    def permute_blocks(self, A_np: np.ndarray) -> np.ndarray:
+        """(ne, nb, nb) flat-order element blocks -> face-major order."""
+        p = self.perm
+        return np.ascontiguousarray(A_np[:, p[:, None], p[None, :]])
+
+    def permute_skel_blocks(self, S_np: np.ndarray) -> np.ndarray:
+        """(ne, 48, 48) skeleton blocks (loc_skel order) -> face-major."""
+        p = self.perm_skel
+        return np.ascontiguousarray(S_np[:, p[:, None], p[None, :]])
+
+    def permute_cols(self, B_np: np.ndarray) -> np.ndarray:
+        """(ne, m, nb) rectangular blocks: permute the element axis only."""
+        return np.ascontiguousarray(B_np[:, :, self.perm])
+
+    @cached_property
+    def eldofs_fb(self) -> np.ndarray:
+        """(ne, 4*nfb) skeleton element dofs in FACE-BLOCK numbering
+        (dof = face * nfb + j), face-major order — for host assembly of
+        skeleton operators in the face numbering."""
+        ef = np.asarray(self.mesh.element_faces)
+        out = np.empty((self.ne, 4 * self.nfb), np.int64)
+        for lf in range(4):
+            out[:, lf * self.nfb: (lf + 1) * self.nfb] = (
+                ef[:, lf][:, None] * self.nfb + np.arange(self.nfb)[None, :]
+            )
+        return out
+
+    # -- layout conversions (jit-safe) ----------------------------------
+
+    def split(self, u):
+        """Flat (n,) -> (uF (nface, nfb), ui (ne, n_int))."""
+        uF = jnp.concatenate(
+            [
+                u[: self.off_c].reshape(self.nface, self.nfd_v),
+                u[self.nhd:].reshape(self.nface, self.nfd_f),
+            ],
+            axis=1,
+        )
+        ui = u[self.off_c: self.nhd].reshape(self.ne, self.n_int)
+        return uF, ui
+
+    def join(self, uF, ui):
+        return jnp.concatenate(
+            [
+                uF[:, : self.nfd_v].reshape(-1),
+                ui.reshape(-1),
+                uF[:, self.nfd_v:].reshape(-1),
+            ]
+        )
+
+    def gather_elem(self, uF, ui):
+        """(ne, nb) element vectors in face-major (permuted) order."""
+        ue_f = uF[self.efaces].reshape(self.ne, self.n_skel)
+        return jnp.concatenate([ue_f, ui], axis=1)
+
+    def scatter_elem(self, ye):
+        """Transpose of gather_elem: (ne, nb) face-major element results ->
+        (yF, yi) via the two-sibling gather (no scatter)."""
+        yf = ye[:, : self.n_skel].reshape(self.ne * 4, self.nfb)
+        yf = jnp.concatenate([yf, jnp.zeros((1, self.nfb), yf.dtype)])
+        yF = yf[self.pos[:, 0]] + yf[self.pos[:, 1]]
+        return yF, ye[:, self.n_skel:]
+
+    def scatter_skel(self, yf4):
+        """(ne, 4*nfb) skeleton-only results -> yF (nface, nfb)."""
+        yf = yf4.reshape(self.ne * 4, self.nfb)
+        yf = jnp.concatenate([yf, jnp.zeros((1, self.nfb), yf.dtype)])
+        return yf[self.pos[:, 0]] + yf[self.pos[:, 1]]
+
+    # -- operator factories ---------------------------------------------
+
+    def elem_apply(self, A_perm):
+        """y = A u from face-major element blocks (ne, nb, nb)."""
+
+        def apply(u):
+            uF, ui = self.split(u)
+            ue = self.gather_elem(uF, ui)
+            ye = jnp.einsum("eij,ej->ei", A_perm, ue)
+            yF, yi = self.scatter_elem(ye)
+            return self.join(yF, yi)
+
+        return apply
+
+    def elem_apply_multi(self, mats_and_scales):
+        """y = sum_k c_k * (A_k u) sharing one gather/scatter round trip —
+        the split (compensated) f32 operator costs ONE extra einsum, not a
+        second full apply."""
+
+        def apply(u):
+            uF, ui = self.split(u)
+            ue = self.gather_elem(uF, ui)
+            ye = None
+            for A_perm, c in mats_and_scales:
+                t = jnp.einsum("eij,ej->ei", A_perm, ue)
+                t = t if c is None else c * t
+                ye = t if ye is None else ye + t
+            yF, yi = self.scatter_elem(ye)
+            return self.join(yF, yi)
+
+        return apply
+
+    def skel_apply(self, S_perm):
+        """y = S u for a skeleton-only operator (ne, 4nfb, 4nfb) in
+        face-major order; interiors pass through as zero."""
+
+        def apply(u):
+            uF, _ = self.split(u)
+            ue = uF[self.efaces].reshape(self.ne, self.n_skel)
+            ye = jnp.einsum("eij,ej->ei", S_perm, ue)
+            yF = self.scatter_skel(ye)
+            return self.join(yF, jnp.zeros((self.ne, self.n_int), u.dtype))
+
+        return apply
+
+    def rect_apply(self, B_perm, eldofs_p, ndof_p):
+        """(B, BT) for a rectangular coupling (ne, m, nb) with
+        element-contiguous row dofs (L2 pressure: eldofs_p[e, j] =
+        e * m + j), face-major columns."""
+        m = B_perm.shape[1]
+        ed = np.asarray(eldofs_p)
+        expected = np.arange(self.ne)[:, None] * m + np.arange(m)[None, :]
+        assert np.array_equal(ed, expected), "pressure dofs not contiguous"
+
+        def B(u):
+            uF, ui = self.split(u)
+            ue = self.gather_elem(uF, ui)
+            pe = jnp.einsum("epi,ei->ep", B_perm, ue)
+            return pe.reshape(-1)
+
+        def BT(p):
+            pe = p.reshape(self.ne, m)
+            ye = jnp.einsum("epi,ep->ei", B_perm, pe)
+            yF, yi = self.scatter_elem(ye)
+            return self.join(yF, yi)
+
+        return B, BT
+
+    def rect_apply_multi(self, mats, eldofs_p, ndof_p):
+        """(B, BT) applying sum_k B_k, sharing one gather/scatter round
+        trip (split-matrix f32 coupling)."""
+        m = mats[0].shape[1]
+        ed = np.asarray(eldofs_p)
+        expected = np.arange(self.ne)[:, None] * m + np.arange(m)[None, :]
+        assert np.array_equal(ed, expected), "pressure dofs not contiguous"
+
+        def B(u):
+            uF, ui = self.split(u)
+            ue = self.gather_elem(uF, ui)
+            pe = sum(jnp.einsum("epi,ei->ep", Bk, ue) for Bk in mats)
+            return pe.reshape(-1)
+
+        def BT(p):
+            pe = p.reshape(self.ne, m)
+            ye = sum(jnp.einsum("epi,ep->ei", Bk, pe) for Bk in mats)
+            yF, yi = self.scatter_elem(ye)
+            return self.join(yF, yi)
+
+        return B, BT
+
+    def rect_apply_ds(self, B_hi, B_lo, eldofs_p, ndof_p,
+                      out_dtype=jnp.float64):
+        """Double-single (B, BT) for the pressure coupling: f64 in/out
+        through three f32 einsums each (see ``elem_apply_ds``)."""
+        m = B_hi.shape[1]
+        ed = np.asarray(eldofs_p)
+        expected = np.arange(self.ne)[:, None] * m + np.arange(m)[None, :]
+        assert np.array_equal(ed, expected), "pressure dofs not contiguous"
+
+        def _ds3(eq, Mhi, Mlo, x):
+            x_hi = x.astype(jnp.float32)
+            x_lo = (x - x_hi.astype(out_dtype)).astype(jnp.float32)
+            return (
+                jnp.einsum(eq, Mhi, x_hi).astype(out_dtype)
+                + jnp.einsum(eq, Mhi, x_lo).astype(out_dtype)
+                + jnp.einsum(eq, Mlo, x_hi).astype(out_dtype)
+            )
+
+        def B(u):
+            uF, ui = self.split(u)
+            ue = self.gather_elem(uF, ui)
+            return _ds3("epi,ei->ep", B_hi, B_lo, ue).reshape(-1)
+
+        def BT(p):
+            pe = p.reshape(self.ne, m)
+            ye = _ds3("epi,ep->ei", B_hi, B_lo, pe)
+            yF, yi = self.scatter_elem(ye)
+            return self.join(yF, yi)
+
+        return B, BT
+
+    def elem_apply_ds(self, A_hi, A_lo, out_dtype=jnp.float64):
+        """Double-single apply: y (f64) = (A_hi + A_lo) u (f64) through
+        THREE f32 batched matvecs (hi*hi, hi*lo, lo*hi) — the TPU-native
+        substitute for an emulated-f64 element apply (~100x cheaper;
+        VERDICT.md round-3 item 3).  The operator is represented to ~2^-48
+        and applied with ~f32-accumulation noise RELATIVE to the input, so
+        it serves correction-equation solves posed on the residual."""
+
+        def apply(u):
+            uF, ui = self.split(u)
+            ue = self.gather_elem(uF, ui)
+            ue_hi = ue.astype(jnp.float32)
+            ue_lo = (ue - ue_hi.astype(out_dtype)).astype(jnp.float32)
+            ye = (
+                jnp.einsum("eij,ej->ei", A_hi, ue_hi).astype(out_dtype)
+                + jnp.einsum("eij,ej->ei", A_hi, ue_lo).astype(out_dtype)
+                + jnp.einsum("eij,ej->ei", A_lo, ue_hi).astype(out_dtype)
+            )
+            yF, yi = self.scatter_elem(ye)
+            return self.join(yF, yi)
+
+        return apply
+
+
+# ----------------------------------------------------------------------
+# Face-granular overlapping block smoother (edge-star patches)
+# ----------------------------------------------------------------------
+
+
+class FaceStarSmoother:
+    """Overlapping block-Jacobi / multi-color block-GS over FACE-granular
+    patches (edge-stars: the faces around each mesh edge,
+    models/auxspace3d._edge_star_skeleton_blocks), with every index op a
+    block-row gather of slice nfb.
+
+    Blocks are bucketed by face count (padding a 4-face boundary star to
+    the 10-face interior maximum would triple the inverse tables); each
+    bucket is one batched dense matvec.  The scatter back is the
+    transpose-gather: every face belongs to exactly THREE edge-stars (its
+    three edges), so assembly is three block-row gathers and two adds.
+
+    Constrained (Dirichlet) dofs are decoupled by zeroing their block
+    rows/columns and placing 1 on the diagonal before inversion — the
+    free-free part of the inverse then equals the inverse of the pruned
+    block the dof-level smoother uses.
+    """
+
+    def __init__(self, layout: FaceBlockLayout, S_fb_csr, edge_faces,
+                 freeF: np.ndarray, dtype=jnp.float32):
+        import scipy.sparse as sp
+
+        nfb, nface = layout.nfb, layout.nface
+        self.layout = layout
+        nblocks = len(edge_faces)
+
+        sizes = np.array([len(f) for f in edge_faces])
+        self.buckets = []
+        self.block_faces: list[np.ndarray] = []  # bucket order
+        slot_base = 0
+        # face -> (up to 3) slot positions in the concatenated result
+        pos3 = np.full((nface, 3), -1, np.int64)
+        cnt = np.zeros(nface, np.int32)
+        order = np.argsort(sizes, kind="stable")
+        csr = sp.csr_matrix(S_fb_csr)
+        freeF_flat = freeF.ravel()
+        for fsz in np.unique(sizes):
+            sel = order[sizes[order] == fsz]
+            faces_b = np.stack([np.asarray(edge_faces[i]) for i in sel])
+            bdim = fsz * nfb
+            dof_idx = (
+                faces_b[:, :, None] * nfb + np.arange(nfb)[None, None, :]
+            ).reshape(len(sel), bdim)
+            mats = np.empty((len(sel), bdim, bdim))
+            for b in range(len(sel)):
+                mats[b] = csr[np.ix_(dof_idx[b], dof_idx[b])].toarray()
+                fm = freeF_flat[dof_idx[b]]
+                mats[b][~fm, :] = 0.0
+                mats[b][:, ~fm] = 0.0
+                mats[b][np.where(~fm)[0], np.where(~fm)[0]] = 1.0
+            inv = np.linalg.inv(mats)
+            # record slot positions
+            for b, i in enumerate(sel):
+                for k, f in enumerate(edge_faces[i]):
+                    pos3[f, cnt[f]] = slot_base + b * fsz + k
+                    cnt[f] += 1
+            self.buckets.append(
+                (jnp.asarray(faces_b, jnp.int32), jnp.asarray(inv, dtype),
+                 np.asarray(sel))
+            )
+            self.block_faces.extend(faces_b)
+            slot_base += len(sel) * fsz
+        assert cnt.max() <= 3
+        self.total_slots = slot_base
+        pos3 = np.where(pos3 < 0, slot_base, pos3)  # pad -> zero row
+        self.pos3 = jnp.asarray(pos3, jnp.int32)
+        self.freeF = jnp.asarray(freeF)
+        self.sizes = sizes
+
+    def _bucket_solve(self, xF, faces_b, inv):
+        nfb = self.layout.nfb
+        nb_b, fsz = faces_b.shape
+        xb = xF[faces_b].reshape(nb_b, fsz * nfb)
+        yb = jnp.einsum("bij,bj->bi", inv, xb)
+        return yb.reshape(nb_b * fsz, nfb)
+
+    def smooth_faces(self, xF):
+        """Additive Schwarz: yF = sum_blocks P_b S_b^{-1} P_b^T xF."""
+        xF = jnp.where(self.freeF, xF, 0.0)
+        parts = [
+            self._bucket_solve(xF, faces_b, inv)
+            for faces_b, inv, _ in self.buckets
+        ]
+        slots = jnp.concatenate(
+            parts + [jnp.zeros((1, self.layout.nfb), xF.dtype)]
+        )
+        yF = slots[self.pos3[:, 0]] + slots[self.pos3[:, 1]] + slots[self.pos3[:, 2]]
+        return jnp.where(self.freeF, yF, 0.0)
+
+    def smooth(self, x):
+        """Flat-vector additive smoother (interiors pass through zero)."""
+        lay = self.layout
+        xF, _ = lay.split(x)
+        yF = self.smooth_faces(xF)
+        return lay.join(yF, jnp.zeros((lay.ne, lay.n_int), x.dtype))
+
+    # -- multi-color Gauss-Seidel support -------------------------------
+
+    def color_groups(self, colors: np.ndarray):
+        """Per-color solve groups for multiplicative (GS) sweeps.
+
+        ``colors``: (nblocks,) in BUCKET order (= ``block_faces`` order).
+        Same-color blocks must be operator-decoupled (face-disjoint
+        follows), so the per-color scatter is a single-row gather.
+        """
+        nface, nfb = self.layout.nface, self.layout.nfb
+        ncolors = int(np.max(colors)) + 1
+        groups = []
+        base = 0
+        bucket_meta = []
+        for faces_b, inv, sel in self.buckets:
+            nb_b = faces_b.shape[0]
+            bucket_meta.append((faces_b, inv, base, nb_b))
+            base += nb_b
+        for c in range(ncolors):
+            parts = []
+            pos1 = np.full(nface, -1, np.int64)
+            slot_base = 0
+            for faces_b, inv, b0, nb_b in bucket_meta:
+                keep = np.where(colors[b0: b0 + nb_b] == c)[0]
+                if not len(keep):
+                    continue
+                fb_np = np.asarray(faces_b)[keep]
+                fsz = fb_np.shape[1]
+                for b, row in enumerate(fb_np):
+                    for k, f in enumerate(row):
+                        assert pos1[f] < 0, "same-color blocks share a face"
+                        pos1[f] = slot_base + b * fsz + k
+                slot_base += len(keep) * fsz
+                parts.append(
+                    (jnp.asarray(fb_np, jnp.int32),
+                     inv[jnp.asarray(keep)])
+                )
+            pos1 = np.where(pos1 < 0, slot_base, pos1)
+            groups.append((parts, jnp.asarray(pos1, jnp.int32)))
+        return groups
+
+    def solve_color(self, group, rF):
+        """One color's batched block solve: yF = sum_{b in color} P_b
+        S_b^{-1} P_b^T rF (blocks face-disjoint -> single-row gather)."""
+        parts, pos1 = group
+        rF = jnp.where(self.freeF, rF, 0.0)
+        outs = [
+            self._bucket_solve(rF, faces_b, inv) for faces_b, inv in parts
+        ]
+        slots = jnp.concatenate(
+            outs + [jnp.zeros((1, self.layout.nfb), rF.dtype)]
+        )
+        return jnp.where(self.freeF, slots[pos1], 0.0)
+
+
+def face_star_smoother(layout: FaceBlockLayout, S_skel_perm: np.ndarray,
+                       free_mask: np.ndarray, dtype=jnp.float32):
+    """Build a FaceStarSmoother from face-major skeleton element blocks.
+
+    ``S_skel_perm``: (ne, 4nfb, 4nfb) numpy, face-major order.
+    ``free_mask``: (n,) full-space free mask.
+    """
+    import scipy.sparse as sp
+
+    lay = layout
+    ed = lay.eldofs_fb
+    ne, nb = ed.shape
+    rows = np.repeat(ed[:, :, None], nb, axis=2).ravel()
+    cols = np.repeat(ed[:, None, :], nb, axis=1).ravel()
+    S_csr = sp.coo_matrix(
+        (S_skel_perm.ravel(), (rows, cols)),
+        shape=(lay.nface * lay.nfb, lay.nface * lay.nfb),
+    ).tocsr()
+
+    edge_faces = _edge_star_faces(lay.mesh)
+    free = np.asarray(free_mask)
+    freeF = np.concatenate(
+        [
+            free[: lay.off_c].reshape(lay.nface, lay.nfd_v),
+            free[lay.nhd:].reshape(lay.nface, lay.nfd_f),
+        ],
+        axis=1,
+    )
+    return FaceStarSmoother(lay, S_csr, edge_faces, freeF, dtype)
+
+
+def _edge_star_faces(mesh) -> list[np.ndarray]:
+    """edge id -> sorted array of face ids containing that edge."""
+    faces = np.asarray(mesh.faces)
+    edge_key = {tuple(e): i for i, e in enumerate(mesh.edges.tolist())}
+    out: list[list[int]] = [[] for _ in range(mesh.nedge)]
+    for f, (a, b, c) in enumerate(faces.tolist()):
+        for pair in ((a, b), (a, c), (b, c)):
+            out[edge_key[pair]].append(f)
+    return [np.asarray(sorted(s), np.int64) for s in out]

@@ -96,7 +96,8 @@ def mixed_precision_saddle_solve(
     return x, r, steps, inner_total
 
 
-def equilibrated_f32_ops(m, gs: bool = False, split: bool = False):
+def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
+                         with_ds: bool = False):
     """Jacobi-equilibrated float32 operator bundle for a 3D MCS model.
 
     The condensed MCS matrix on sliver-heavy meshes spans a dynamic range
@@ -127,66 +128,125 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False):
     D[free] = 1.0 / np.sqrt(np.maximum(np.abs(d[free]), 1e-300))
     De = D[eldofs]
     A_s = A_loc * De[:, :, None] * De[:, None, :]
-    B_s = np.asarray(m._B_loc) * De[:, None, :]
 
     f32 = jnp.float32
-    A_sj = jnp.asarray(A_s, f32)
-    B_sj = jnp.asarray(B_s, f32)
-    eldofs_j = jnp.asarray(eldofs)
-    eldofs_p = jnp.asarray(m.Q.element_dofs)
     free_j = jnp.asarray(free)
     n, nQ = m.n, m.Q.ndof
+    ops_ds = None
 
-    if split:
-        # compensated (split-matrix) matvec: A ~ hi + lo with
-        # hi = f32(A), lo = f32(A - hi).  Two f32 GEMM passes represent the
-        # OPERATOR to ~f32^2 accuracy, removing the e_f32 * kappa(A32)
-        # representation error that floors plain-f32 iterative refinement
-        # (~1e-4 observed on the 3D channel); cost is 2x an f32 apply —
-        # still ~5x cheaper than emulated-f64 on TPU v5e.
-        A_lo = jnp.asarray(A_s - np.asarray(A_sj, np.float64), f32)
-
-        def A32(u):
-            uf = jnp.where(free_j, u, 0.0)
-            y = asm.apply_local_matrices(A_sj, eldofs_j, n, uf)
-            y = y + asm.apply_local_matrices(A_lo, eldofs_j, n, uf)
-            return jnp.where(free_j, y, u)
-
-    else:
+    if getattr(m, "fb", None) is not None:
+        # scatter-free face-block applies (ops/faceblock.py); the split
+        # (compensated) variant shares ONE gather/scatter round trip across
+        # the hi/lo matvecs
+        lay = m.fb
+        A_sp = lay.permute_blocks(A_s)
+        A_hi = jnp.asarray(A_sp, f32)
+        A_lo = jnp.asarray(A_sp - np.asarray(A_hi, np.float64), f32)
+        mats_A = [(A_hi, None)]
+        if split:
+            mats_A.append((A_lo, None))
+        _A32 = lay.elem_apply_multi(mats_A)
 
         def A32(u):
             uf = jnp.where(free_j, u, 0.0)
-            y = asm.apply_local_matrices(A_sj, eldofs_j, n, uf)
-            return jnp.where(free_j, y, u)
+            return jnp.where(free_j, _A32(uf), u)
 
-    if split:
-        B_lo = jnp.asarray(B_s - np.asarray(B_sj, np.float64), f32)
+        B_sp = (np.asarray(m._B_loc, np.float64) * De[:, None, :])[
+            :, :, lay.perm
+        ]
+        B_hi = jnp.asarray(B_sp, f32)
+        B_lo = jnp.asarray(B_sp - np.asarray(B_hi, np.float64), f32)
+        mats_B = [B_hi]
+        if split:
+            mats_B.append(B_lo)
+        _B32, _BT32 = lay.rect_apply_multi(mats_B, m.Q.element_dofs, nQ)
 
         def B32(u):
-            ue = jnp.where(free_j, u, 0.0)[eldofs_j]
-            pe = jnp.einsum("epi,ei->ep", B_sj, ue) + jnp.einsum(
-                "epi,ei->ep", B_lo, ue
-            )
-            return asm.scatter_add(pe, eldofs_p, nQ)
+            return _B32(jnp.where(free_j, u, 0.0))
 
         def BT32(p):
-            pe = p[eldofs_p]
-            ue = jnp.einsum("epi,ep->ei", B_sj, pe) + jnp.einsum(
-                "epi,ep->ei", B_lo, pe
+            return jnp.where(free_j, _BT32(p), 0.0)
+
+        if with_ds:
+            # double-single (f64-vector, 3x f32 matvec) operators on the
+            # SAME equilibrated system — the phase-2 polish path
+            # (VERDICT.md round-3 item 3): ~100x cheaper per apply than
+            # the emulated-f64 element einsum
+            _A_ds = lay.elem_apply_ds(A_hi, A_lo)
+            _B_ds, _BT_ds = lay.rect_apply_ds(
+                B_hi, B_lo, m.Q.element_dofs, nQ
             )
-            return jnp.where(free_j, asm.scatter_add(ue, eldofs_j, n), 0.0)
+
+            def A_ds(u):
+                uf = jnp.where(free_j, u, 0.0)
+                return jnp.where(free_j, _A_ds(uf), u)
+
+            def B_ds(u):
+                return _B_ds(jnp.where(free_j, u, 0.0))
+
+            def BT_ds(p):
+                return jnp.where(free_j, _BT_ds(p), 0.0)
+
+            ops_ds = dict(A=A_ds, B=B_ds, BT=BT_ds)
 
     else:
+        assert not with_ds, "double-single ops need the face-block layout"
+        B_s = np.asarray(m._B_loc, np.float64) * De[:, None, :]
+        eldofs_j = jnp.asarray(eldofs)
+        eldofs_p = jnp.asarray(m.Q.element_dofs)
+        A_sj = jnp.asarray(A_s, f32)
+        B_sj = jnp.asarray(B_s, f32)
 
-        def B32(u):
-            ue = jnp.where(free_j, u, 0.0)[eldofs_j]
-            pe = jnp.einsum("epi,ei->ep", B_sj, ue)
-            return asm.scatter_add(pe, eldofs_p, nQ)
+        if split:
+            # compensated (split-matrix) matvec: A ~ hi + lo with
+            # hi = f32(A), lo = f32(A - hi).  Two f32 GEMM passes represent
+            # the OPERATOR to ~f32^2 accuracy, removing the
+            # e_f32 * kappa(A32) representation error that floors plain-f32
+            # iterative refinement (~1e-4 observed on the 3D channel).
+            A_lo = jnp.asarray(A_s - np.asarray(A_sj, np.float64), f32)
 
-        def BT32(p):
-            pe = p[eldofs_p]
-            ue = jnp.einsum("epi,ep->ei", B_sj, pe)
-            return jnp.where(free_j, asm.scatter_add(ue, eldofs_j, n), 0.0)
+            def A32(u):
+                uf = jnp.where(free_j, u, 0.0)
+                y = asm.apply_local_matrices(A_sj, eldofs_j, n, uf)
+                y = y + asm.apply_local_matrices(A_lo, eldofs_j, n, uf)
+                return jnp.where(free_j, y, u)
+
+            B_lo = jnp.asarray(B_s - np.asarray(B_sj, np.float64), f32)
+
+            def B32(u):
+                ue = jnp.where(free_j, u, 0.0)[eldofs_j]
+                pe = jnp.einsum("epi,ei->ep", B_sj, ue) + jnp.einsum(
+                    "epi,ei->ep", B_lo, ue
+                )
+                return asm.scatter_add(pe, eldofs_p, nQ)
+
+            def BT32(p):
+                pe = p[eldofs_p]
+                ue = jnp.einsum("epi,ep->ei", B_sj, pe) + jnp.einsum(
+                    "epi,ep->ei", B_lo, pe
+                )
+                return jnp.where(
+                    free_j, asm.scatter_add(ue, eldofs_j, n), 0.0
+                )
+
+        else:
+
+            def A32(u):
+                uf = jnp.where(free_j, u, 0.0)
+                y = asm.apply_local_matrices(A_sj, eldofs_j, n, uf)
+                return jnp.where(free_j, y, u)
+
+            def B32(u):
+                ue = jnp.where(free_j, u, 0.0)[eldofs_j]
+                pe = jnp.einsum("epi,ei->ep", B_sj, ue)
+                return asm.scatter_add(pe, eldofs_p, nQ)
+
+            def BT32(p):
+                pe = p[eldofs_p]
+                ue = jnp.einsum("epi,ep->ei", B_sj, pe)
+                return jnp.where(
+                    free_j, asm.scatter_add(ue, eldofs_j, n), 0.0
+                )
 
     preA32 = build_skeleton_preconditioner_3d(
         m.Xv, A_s, m._dirich, f32, coarse_coefficient=m.nu, gs=gs,
@@ -197,6 +257,8 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False):
     preM32 = lambda p: nu32 * p / diag_Mp32
 
     ops32 = dict(A=A32, B=B32, BT=BT32, preA=preA32, preM=preM32)
+    if with_ds:
+        return ops32, jnp.asarray(D), ops_ds
     return ops32, jnp.asarray(D)
 
 

@@ -1,0 +1,89 @@
+"""Parity: face-block (fast) skeleton preconditioner vs the dof-level
+gather/scatter formulation — same math, different index machinery."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_tpu.mesh import channel_with_cylinder_mesh_3d
+from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
+
+
+H = 0.41
+
+
+def uin(p):
+    out = np.zeros((len(p), 3))
+    out[:, 0] = 16 * p[:, 1] * (H - p[:, 1]) * p[:, 2] * (H - p[:, 2]) / H**4
+    return out
+
+
+@pytest.fixture(scope="module")
+def model():
+    mesh = channel_with_cylinder_mesh_3d(0.35)
+    return NavierStokesMCS(
+        mesh, nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
+        uin=uin, timestep=2e-3, order=2, dtype=jnp.float64,
+    )
+
+
+@pytest.mark.parametrize("gs", [False, True])
+def test_skeleton_fast_matches_slow(model, gs):
+    from navier_stokes_tpu.models.auxspace3d import (
+        build_skeleton_preconditioner_3d,
+    )
+
+    m = model
+    pre_fast = build_skeleton_preconditioner_3d(
+        m.Xv, m.A_cond_np, m._dirich, jnp.float64,
+        coarse_coefficient=m.nu, gs=gs, fast=True,
+    )
+    pre_slow = build_skeleton_preconditioner_3d(
+        m.Xv, m.A_cond_np, m._dirich, jnp.float64,
+        coarse_coefficient=m.nu, gs=gs, fast=False,
+    )
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(m.n))
+    yf = pre_fast(x)
+    ys = pre_slow(x)
+    rel = float(jnp.linalg.norm(yf - ys) / jnp.linalg.norm(ys))
+    if gs:
+        # the GS sweep depends on the block/color ORDER, and the fast path
+        # buckets blocks by size before coloring — the two preconditioners
+        # are the same construction but not the same operator.  Check the
+        # fast one is in the same ballpark and exactly SYMMETRIC (the SPD
+        # property BPCG needs), rather than bitwise parity.
+        assert rel < 0.5
+        a = x * m.free
+        b = jnp.asarray(rng.standard_normal(m.n)) * m.free
+        lhs = float(jnp.vdot(pre_fast(a), b))
+        rhs_ = float(jnp.vdot(a, pre_fast(b)))
+        assert abs(lhs - rhs_) < 1e-8 * max(abs(lhs), 1.0)
+    else:
+        # the two formulations invert each block in a different dof order;
+        # on the UNequilibrated condensed operator (diagonal spans ~1e12)
+        # the LU rounding difference shows up at ~kappa(block)*eps.
+        assert rel < 1e-7
+
+
+def test_model_applies_match_flat(model):
+    """The model's face-block A/B/BT equal the flat gather/scatter ones."""
+    from navier_stokes_tpu.ops import assembly as asm
+
+    m = model
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.standard_normal(m.n))
+    p = jnp.asarray(rng.standard_normal(m.Q.ndof))
+    eldofs = jnp.asarray(m.Xv.element_dofs)
+    A_flat = jnp.asarray(m.A_cond_np)
+    y_ref = asm.apply_local_matrices(A_flat, eldofs, m.n, u)
+    rel = float(jnp.linalg.norm(m.A_raw(u) - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 1e-12
+
+    B_flat = jnp.asarray(np.asarray(m._B_loc))
+    ue = u[eldofs]
+    pe_ref = jnp.einsum("epi,ei->ep", B_flat, ue).reshape(-1)
+    rel = float(
+        jnp.linalg.norm(m.B_raw(u) - pe_ref) / jnp.linalg.norm(pe_ref)
+    )
+    assert rel < 1e-12
