@@ -12,22 +12,34 @@ condensation, solved the TPU-native way:
   preconditioner; all applies SCATTER-FREE face-block kernels
   (ops/faceblock.py; the round-2 gather/scatter formulation measured
   7.0 ms per A-apply vs 1.0 ms now).
-* phase 2 — MINRES refinement passes on the same equilibrated system with
-  float64 Krylov vectors and DOUBLE-SINGLE matvecs (three f32 element
-  einsums represent the f64 operator product; the round-2 phase 2 paid
-  ~0.2 s/iteration in emulated-f64 applies).  MINRES, not BPCG: the
-  optimized Bramble-Pasciak recurrence amortizes A*s across the whole
-  iteration and the ~1e-7 double-single apply noise makes its internal
-  error measure drift from the true residual by ~400x (measured), while
-  MINRES tracks it exactly.  Outer residuals use the true emulated-f64
-  operator, so the reported residual is exact.
+* phase 2 — MINRES refinement passes on the TRUE emulated-f64 operators
+  (now scatter-free face-block applies, ~20x cheaper per apply than the
+  round-2 dof-level formulation) with the f32 skeleton preconditioner
+  wrapped by congruence (D preA32 D ~ A^{-1}).  Two cheaper phase-2
+  candidates measured and rejected at bench scale: the double-single
+  (3x f32) matvec floors near 1e-6 — row cancellation in the equilibrated
+  condensed operator amplifies the f32 accumulation noise (fine at small
+  scale, tests/test_ds_ops.py) — and BPCG's amortized A*s recurrence
+  drifts ~400x from the true residual under that same noise.
+
+* transient — DoTimeStep throughput (steps/sec, warm), the reference's
+  SIMPLE time loop (NavierStokesSIMPLE_iterative.py:427-438 via
+  templates/NavierStokesSIMPLE_test_3D.py:28-31): IMEX steps of the SAME
+  jitted program in float32 (explicit upwind convection, diagonal-PCG
+  M* solve, Chebyshev-inner divergence projection at fixed relative
+  tolerance 1e-5) built from the shared host assembly via
+  ``assembly_cache`` — f32 stepping with an f64 initial solve is the
+  TPU-native split: per-step fields only need the projection tolerance,
+  not 1e-8.
 
 The identical jitted program runs on the JAX-CPU backend as the baseline.
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "steps_per_sec": N, "steps_vs_baseline": N}
 value = inner Krylov iterations/sec; vs_baseline = CPU wall / device wall
-for the same solve (>1 means faster than CPU).
+for the same solve (>1 means faster than CPU); steps_per_sec /
+steps_vs_baseline = the transient metric on the same geometry.
 """
 
 import json
@@ -75,17 +87,73 @@ def uin(p):
     return out
 
 
-def build(mesh, dtype, preconditioner):
+def make_geometry(mesh):
+    """Order-3 curved cylinder, the reference's mesh.Curve(3)
+    (/root/reference/templates/NavierStokesSIMPLE_test_3D.py:16).
+    BENCH_STRAIGHT=1 disables; a failed snap (inverted boundary tet) falls
+    back to the straight mesh rather than killing the bench."""
+    if os.environ.get("BENCH_STRAIGHT"):
+        return None
+    try:
+        from navier_stokes_tpu.mesh.curved import curve_to_cylinder_3d
+
+        geo = curve_to_cylinder_3d(mesh, "cyl", (0.5, 0.2), 0.05, order=3)
+        log(f"curved cylinder: {len(geo.curved_elements)} curved tets")
+        return geo
+    except Exception as e:
+        log("curved geometry failed, using straight mesh:", repr(e))
+        return None
+
+
+def build(mesh, dtype, preconditioner, cache=None, geometry=None):
     from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
 
     return NavierStokesMCS(
         mesh, nu=0.001, inflow="inlet", outflow="outlet", wall="wall|cyl",
         uin=uin, timestep=2e-3, order=2, dtype=dtype,
-        preconditioner=preconditioner,
+        preconditioner=preconditioner, assembly_cache=cache,
+        geometry=geometry,
     )
 
 
-def measure(device, mesh):
+def measure_transient(device, mesh, cache, n_steps=None, geometry=None):
+    """DoTimeStep throughput (steps/sec, warm) in float32 at fixed relative
+    projection tolerance 1e-5 — the SIMPLE time loop of the reference
+    (NavierStokesSIMPLE_iterative.py:427-438).  ``cache`` shares the host
+    assembly/condensation with the f64 initial-solve model."""
+    jax.config.update(
+        "jax_default_matmul_precision",
+        "highest" if device.platform == "tpu" else None,
+    )
+    with jax.default_device(device):
+        t0 = time.perf_counter()
+        m32 = build(mesh, jnp.float32, "faceblock", cache=cache,
+                    geometry=geometry)
+        step = jax.jit(m32.make_step_fn(project_tol=1e-5))
+        u = step(m32.u)  # compile + warm
+        jax.block_until_ready(u)
+        log(f"{device.platform} transient setup+compile "
+            f"{time.perf_counter() - t0:.1f}s")
+        if n_steps is None:
+            # calibrate: aim for ~10 s of measurement, stay under the
+            # ~60 s tunnel cap per execution (each step is one execution)
+            t0 = time.perf_counter()
+            u = step(u)
+            jax.block_until_ready(u)
+            dt1 = time.perf_counter() - t0
+            n_steps = max(3, min(200, int(10.0 / max(dt1, 1e-3))))
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            u = step(u)
+        jax.block_until_ready(u)
+        t = time.perf_counter() - t0
+        assert bool(jnp.all(jnp.isfinite(u))), "transient blew up"
+        log(f"{device.platform} transient: {n_steps} steps in {t:.2f}s "
+            f"({n_steps / t:.2f} steps/s)")
+    return n_steps, t
+
+
+def measure(device, mesh, cache=None, geometry=None):
     from navier_stokes_tpu.solvers import equilibrated_f32_ops
 
     # TPU f32 matmuls default to bf16 multiplication: the Krylov machinery
@@ -100,11 +168,13 @@ def measure(device, mesh):
 
     with jax.default_device(device):
         t0 = time.perf_counter()
-        m64 = build(mesh, jnp.float64, "faceblock")  # preA built lazily
-        # Jacobi-equilibrated SPLIT f32 inner system + double-single ops
-        # for the polish: no f64 operator tables ever ship to the device
-        ops32, D, ops_ds = equilibrated_f32_ops(
-            m64, gs=False, split=True, with_ds=True
+        m64 = build(mesh, jnp.float64, "faceblock", cache=cache,
+                    geometry=geometry)
+        # Jacobi-equilibrated SPLIT f32 inner system: no f64 operator
+        # tables ever ship to the device.  BENCH_GS=1 swaps the additive
+        # skeleton smoother for the symmetric multi-color block-GS sweep.
+        ops32, D = equilibrated_f32_ops(
+            m64, gs=bool(int(os.environ.get("BENCH_GS", "0"))), split=True
         )
         f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
         g_mod = -m64.B_raw(m64.u_bc)
@@ -130,6 +200,7 @@ def measure(device, mesh):
             lambda r0s, r1s, x0, x1: minres(
                 K32, (r0s, r1s), pre=pre32, sol=(x0, x1),
                 initialize=False, tol=5e-7, maxsteps=CHUNK32,
+                abs_test=False,
             ),
             z32, zp32, z32, zp32,
         )
@@ -139,35 +210,35 @@ def measure(device, mesh):
             ),
             f_mod, g_mod,
         )
-        # phase 2: MINRES on the equilibrated CORRECTION system
-        # A~ dz~ = D r0 with f64 vectors, double-single matvecs and the f32
-        # skeleton preconditioner applied through casts.  Posed on the
-        # residual, every quantity scales with ||r||, so the f32
-        # preconditioner noise and the ~1e-7 matvec accumulation noise are
-        # RELATIVE — each outer pass contracts the true residual by its
-        # inner tolerance.  Solution map: dx0 = D dz~, dx1 = dz1.
+        # phase 2: MINRES on the TRUE f64 correction system A dz = r with
+        # the f32 skeleton preconditioner wrapped by congruence
+        # (A^{-1} ~ D preA32~ D).  Posed on the residual, every quantity
+        # scales with ||r||, so the f32 preconditioner noise is RELATIVE —
+        # each outer pass contracts the true residual by its tolerance.
         preA32s = ops32["preA"]
 
         def preA64(r):
-            return preA32s(r.astype(jnp.float32)).astype(jnp.float64)
+            return D * preA32s((D * r).astype(jnp.float32)).astype(
+                jnp.float64
+            )
 
-        def preM64(p):
-            return ops32["preM"](p.astype(jnp.float32)).astype(jnp.float64)
+        preM64 = m64.preM
 
-        def K_ds(x):
+        def K64(x):
             u, p = x
-            return (ops_ds["A"](u) + ops_ds["BT"](p), ops_ds["B"](u))
+            return (m64.A(u) + m64.BT(p), m64.B(u))
 
-        def pre_ds(x):
+        def pre64(x):
             return (preA64(x[0]), preM64(x[1]))
 
-        CHUNK64 = int(os.environ.get("BENCH_CHUNK64", "1500"))
+        CHUNK64 = int(os.environ.get("BENCH_CHUNK64", "1000"))
         z64 = jnp.zeros_like(f_mod)
         zp64 = jnp.zeros_like(g_mod)
-        minres_ds_chunk = hoisted_jit(
+        minres_p2_chunk = hoisted_jit(
             lambda r0, r1, x0, x1: minres(
-                K_ds, (r0, r1), pre=pre_ds, sol=(x0, x1),
+                K64, (r0, r1), pre=pre64, sol=(x0, x1),
                 initialize=False, tol=1e-4, maxsteps=CHUNK64,
+                abs_test=False,
             ),
             z64, zp64, z64, zp64,
         )
@@ -207,18 +278,17 @@ def measure(device, mesh):
             _outer = 0
             while _outer < 6 and rel > TOL:
                 r0, r1 = residual64(x0, x1)
-                r0s = D * r0
                 dx0, dx1 = z64, zp64
                 rounds = 0
                 res = None
                 while rounds < 6:
-                    res = minres_ds_chunk(r0s, r1, dx0, dx1)
+                    res = minres_p2_chunk(r0, r1, dx0, dx1)
                     dx0, dx1 = res.x
                     total_inner += int(res.iterations)
                     rounds += 1
                     if bool(res.converged):
                         break
-                x0n = x0 + D * dx0
+                x0n = x0 + dx0
                 x1n = x1 + dx1
                 r0n, r1n = residual64(x0n, x1n)
                 new_rel = true_rel(r0n, r1n)
@@ -250,18 +320,29 @@ def main():
     devices = jax.devices()
     main_dev = devices[0]
     log(f"benchmark device: {main_dev}, maxh={MAXH} ({mesh.ne} tets), tol={TOL}")
+    cache: dict = {}  # host assembly shared across all four model builds
+    geo = make_geometry(mesh)
 
     try:
-        inner, t_main = measure(main_dev, mesh)
+        inner, t_main = measure(main_dev, mesh, cache, geometry=geo)
     except Exception as e:
         # accelerator unavailable/crashed: fall back to CPU so the bench
         # always emits its JSON line
         log("device measurement failed, falling back to cpu:", repr(e))
         main_dev = jax.devices("cpu")[0]
-        inner, t_main = measure(main_dev, mesh)
+        inner, t_main = measure(main_dev, mesh, cache, geometry=geo)
     ips = inner / t_main
 
+    steps_per_sec = None
+    try:
+        n_steps, t_steps = measure_transient(main_dev, mesh, cache,
+                                             geometry=geo)
+        steps_per_sec = n_steps / t_steps
+    except Exception as e:
+        log("transient measurement failed:", repr(e))
+
     vs_baseline = 1.0
+    steps_vs_baseline = 1.0
     if main_dev.platform != "cpu":
         try:
             # the persistent cache stores CPU AOT results with machine
@@ -273,22 +354,39 @@ def main():
             except Exception:
                 pass
             cpu = jax.devices("cpu")[0]
-            _, t_cpu = measure(cpu, mesh)
+            _, t_cpu = measure(cpu, mesh, cache, geometry=geo)
             vs_baseline = t_cpu / t_main
         except Exception as e:
             log("cpu baseline failed:", repr(e))
+        if steps_per_sec is not None:
+            try:
+                cpu = jax.devices("cpu")[0]
+                n_c, t_c = measure_transient(cpu, mesh, cache,
+                                             geometry=geo)
+                steps_vs_baseline = steps_per_sec / (n_c / t_c)
+            except Exception as e:
+                log("cpu transient baseline failed:", repr(e))
 
-    print(json.dumps({
+    out = {
         "metric": "mcs3d_initial_stokes_to_residual_1e-8",
         "value": round(ips, 2),
         "unit": (
             f"inner Krylov iterations/sec (split-f32 MINRES refinement + "
-            f"double-single BPCG polish), 3D MCS channel maxh={MAXH}, "
+            f"true-f64 face-block polish), 3D MCS channel maxh={MAXH}, "
             f"wall={t_main:.3f}s to f64 rel residual {TOL} on "
             f"{main_dev.platform}"
+            + (
+                f"; transient SIMPLE loop {steps_per_sec:.2f} steps/s "
+                f"(f32, proj tol 1e-5, x{steps_vs_baseline:.1f} vs cpu)"
+                if steps_per_sec is not None else ""
+            )
         ),
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+    if steps_per_sec is not None:
+        out["steps_per_sec"] = round(steps_per_sec, 2)
+        out["steps_vs_baseline"] = round(steps_vs_baseline, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -166,44 +166,6 @@ def apply_local_matrices(
     return jnp.zeros(ndof, ye.dtype).at[eldofs].add(ye)
 
 
-def gather_transpose_plan(eldofs: np.ndarray, ndof: int):
-    """Precompute the scatter->gather conversion for ``apply_local_gather``.
-
-    TPUs handle gathers far better than scatter-adds (a scatter serializes
-    on index collisions).  For each global dof, record the (element, slot)
-    positions that contribute to it, padded to the max multiplicity; the
-    apply then GATHERS from the flattened per-element products and reduces
-    along the padded axis — no scatter at all.
-
-    Returns ``pos`` (ndof, mmax) int32 indices into the flattened
-    (ne * nb + 1,) product array, padding pointing at the trailing zero
-    slot.
-    """
-    eldofs = np.asarray(eldofs)
-    ne, nb = eldofs.shape
-    flat = eldofs.ravel()
-    order = np.argsort(flat, kind="stable")
-    sorted_dofs = flat[order]
-    counts = np.bincount(sorted_dofs, minlength=ndof)
-    mmax = int(counts.max()) if len(counts) else 1
-    pos = np.full((ndof, mmax), ne * nb, dtype=np.int64)  # pad -> zero slot
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    slot_in_group = np.arange(len(flat)) - starts[sorted_dofs]
-    pos[sorted_dofs, slot_in_group] = order
-    return jnp.asarray(pos)
-
-
-def apply_local_gather(
-    a_local: jax.Array, eldofs: jax.Array, pos: jax.Array, u: jax.Array
-) -> jax.Array:
-    """y = A u via gather-einsum-GATHER (no scatter; see
-    ``gather_transpose_plan``)."""
-    ue = u[eldofs]
-    ye = jnp.einsum("eij,ej->ei", a_local, ue)
-    ye_flat = jnp.concatenate([ye.ravel(), jnp.zeros(1, ye.dtype)])
-    return ye_flat[pos].sum(axis=1)
-
-
 def diagonal_of_local(a_local: jax.Array, eldofs: jax.Array, ndof: int) -> jax.Array:
     d = jnp.einsum("eii->ei", a_local)
     return jnp.zeros(ndof, d.dtype).at[eldofs].add(d)

@@ -333,8 +333,21 @@ def sharded_flagship_solve(ns, mesh: Mesh, tol: float = 1e-8,
         B_loc.transpose(0, 2, 1), eldofs, eldofs_p, pu, pp, es, mesh, dt, axis
     )
 
-    # vertex-star block smoother as one more DD gather-solve-scatter
-    blocks = hybrid_blocks(ns.Xv, "vertexstar")
+    # block smoother as one more DD gather-solve-scatter: 2D vertex stars /
+    # 3D disjoint face+interior blocks (matches the model's
+    # preconditioner="vertexstar" / "faceblock" respectively, so iteration
+    # counts are comparable to the single-device solve)
+    if ns.mesh.dim == 3:
+        from ..models.stokes_hybrid3d import hybrid_blocks_3d
+
+        fmask = ns.Xv.free_mask
+        blocks = [
+            np.asarray([d for d in b if fmask[d]], np.int32)
+            for b in hybrid_blocks_3d(ns.Xv, "face")
+        ]
+        blocks = [b for b in blocks if len(b)]
+    else:
+        blocks = hybrid_blocks(ns.Xv, "vertexstar")
     dofs_pad, mats = extract_blocks_from_local(
         ns.A_cond_np, eldofs, blocks, ns.n
     )

