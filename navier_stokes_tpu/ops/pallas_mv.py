@@ -1,0 +1,183 @@
+"""Pallas TPU kernels for the batched block matvecs of the hot solve path.
+
+The flagship iteration (the hot loop of
+/root/reference/solvers/bramblepasciak_new.py:200-241) is dominated by
+batched dense block matvecs: the condensed element operator
+(ne, nb, nb) x (ne, nb), the skeleton smoother's bucketed block solves,
+and their split-precision (hi+lo) variants.  XLA's lowering of the
+batched matvec einsum leaves ~6x on the table at bench shapes
+(measured 0.62-0.67 ms for a 90 MB operand whose HBM-bandwidth bound is
+0.11 ms, scripts/microbench_apply2.py): the (ne, nb, nb) layout pads the
+54-wide minor dimension to 128 lanes, and the SoA (nb, nb, ne) variant
+slices the minor axis into ~3k separate 1 KB DMA segments per tile.
+
+The kernels here fix the memory system, not the compute (the op is
+bandwidth-bound; the VPU multiply-reduce is ~30x faster than the
+stream):
+
+* tables are pre-packed TILE-CONTIGUOUS at setup: (ntile, nb, nb, TILE)
+  with the element index innermost (lane axis, zero padding waste) and
+  each grid step's block one dense contiguous DMA;
+* the hi/lo split matrices ride in ONE kernel sharing the x tile, so the
+  compensated f32 apply streams both tables in a single pass;
+* the double-single variant emits its three f32 products
+  (hi*x_hi, hi*x_lo, lo*x_hi) from one kernel — the f64 combination
+  stays outside (TPU Pallas is f32-native).
+
+Vectors enter/leave in SoA form (nb, ne_pad); the cheap AoS<->SoA
+transposes (~1.7 MB) and the face gathers stay in XLA, where they are
+already at bandwidth (ops/faceblock.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # Pallas TPU is optional: CPU runs use the XLA einsum path
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+__all__ = ["pack_tiles", "tiled_bmv", "tiled_bmv_multi", "tiled_bmv_ds",
+           "pallas_ok"]
+
+
+def pallas_ok() -> bool:
+    """True when the Pallas TPU path can run on the default backend."""
+    if not HAVE_PALLAS:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu",)
+    except Exception:
+        return False
+
+
+def pack_tiles(A_np: np.ndarray, tile: int) -> np.ndarray:
+    """(nblk, m, nb) element blocks -> (ntile, m, nb, tile) tile-contiguous
+    SoA tables (block index innermost = lane axis; zero-padded tail)."""
+    nblk, m, nb = A_np.shape
+    ntile = -(-nblk // tile)
+    flat = np.zeros((ntile * tile, m, nb), A_np.dtype)
+    flat[:nblk] = A_np
+    # (ntile, tile, m, nb) -> (ntile, m, nb, tile): block index innermost
+    return np.ascontiguousarray(
+        flat.reshape(ntile, tile, m, nb).transpose(0, 2, 3, 1)
+    )
+
+
+def _bmv(a, x):
+    # y[i, e] = sum_j a[i, j, e] * x[j, e].  Mosaic cannot lower a batched
+    # dot_general (the element axis e is a batch dim), so this is an
+    # explicit VPU broadcast-multiply-reduce; the op is bandwidth-bound on
+    # the a-stream, so VPU FLOPs are free.
+    return jnp.sum(a * x[None, :, :], axis=1)
+
+
+def _mv_kernel(x_ref, a_ref, o_ref):
+    # one dense contiguous DMA per tile brings in a_ref; that stream is
+    # the whole cost of the apply
+    o_ref[:] = _bmv(a_ref[0], x_ref[:])
+
+
+def _mv2_kernel(x_ref, ahi_ref, alo_ref, o_ref):
+    x = x_ref[:]
+    o_ref[:] = _bmv(ahi_ref[0], x) + _bmv(alo_ref[0], x)
+
+
+def _mv_ds_kernel(xhi_ref, xlo_ref, ahi_ref, alo_ref, ohh_ref, ohl_ref,
+                  olh_ref):
+    ahi = ahi_ref[0]
+    xhi = xhi_ref[:]
+    ohh_ref[:] = _bmv(ahi, xhi)
+    ohl_ref[:] = _bmv(ahi, xlo_ref[:])
+    olh_ref[:] = _bmv(alo_ref[0], xhi)
+
+
+def _specs(m, nb, tile, n_mats, n_x, n_out):
+    in_specs = [
+        pl.BlockSpec((nb, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for _ in range(n_x)
+    ] + [
+        pl.BlockSpec((1, m, nb, tile), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_mats)
+    ]
+    out_specs = [
+        pl.BlockSpec((m, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for _ in range(n_out)
+    ]
+    return in_specs, out_specs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_mv(A_t, x, interpret=False):
+    ntile, m, nb, tile = A_t.shape
+    out_shape = jax.ShapeDtypeStruct((m, ntile * tile), jnp.float32)
+    in_specs, out_specs = _specs(m, nb, tile, 1, 1, 1)
+    return pl.pallas_call(
+        _mv_kernel,
+        out_shape=out_shape,
+        grid=(ntile,),
+        in_specs=in_specs,
+        out_specs=out_specs[0],
+        interpret=interpret,
+    )(x, A_t)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_mv2(A_hi_t, A_lo_t, x, interpret=False):
+    ntile, m, nb, tile = A_hi_t.shape
+    out_shape = jax.ShapeDtypeStruct((m, ntile * tile), jnp.float32)
+    in_specs, out_specs = _specs(m, nb, tile, 2, 1, 1)
+    return pl.pallas_call(
+        _mv2_kernel,
+        out_shape=out_shape,
+        grid=(ntile,),
+        in_specs=in_specs,
+        out_specs=out_specs[0],
+        interpret=interpret,
+    )(x, A_hi_t, A_lo_t)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_mv_ds(A_hi_t, A_lo_t, x_hi, x_lo, interpret=False):
+    ntile, m, nb, tile = A_hi_t.shape
+    sh = jax.ShapeDtypeStruct((m, ntile * tile), jnp.float32)
+    in_specs, out_specs = _specs(m, nb, tile, 2, 2, 3)
+    return pl.pallas_call(
+        _mv_ds_kernel,
+        out_shape=(sh, sh, sh),
+        grid=(ntile,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(x_hi, x_lo, A_hi_t, A_lo_t)
+
+
+def tiled_bmv(A_t: jnp.ndarray, x_soa: jnp.ndarray,
+              interpret: bool = False) -> jnp.ndarray:
+    """y_soa (m, ntile*tile) = per-block A @ x for tile-packed tables.
+
+    ``A_t``: (ntile, m, nb, tile) from :func:`pack_tiles` (f32).
+    ``x_soa``: (nb, ntile*tile) f32.
+    """
+    return _call_mv(A_t, x_soa, interpret=interpret)
+
+
+def tiled_bmv_multi(A_hi_t, A_lo_t, x_soa, interpret: bool = False):
+    """Split (compensated) apply: y = (A_hi + A_lo) x in ONE stream."""
+    return _call_mv2(A_hi_t, A_lo_t, x_soa, interpret=interpret)
+
+
+def tiled_bmv_ds(A_hi_t, A_lo_t, x_hi_soa, x_lo_soa,
+                 interpret: bool = False):
+    """Double-single products: (A_hi x_hi, A_hi x_lo, A_lo x_hi) f32."""
+    return _call_mv_ds(A_hi_t, A_lo_t, x_hi_soa, x_lo_soa,
+                       interpret=interpret)

@@ -1,0 +1,121 @@
+"""Correctness of the tile-contiguous Pallas batched block matvecs
+(ops/pallas_mv.py) against the plain XLA einsum, in interpret mode so the
+test runs on the CPU backend.
+
+These kernels implement the hot batched matvec of the flagship apply
+(the BPCG/MINRES iteration of
+/root/reference/solvers/bramblepasciak_new.py:200-241) in a layout whose
+DMA pattern is one dense contiguous block per grid step.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from navier_stokes_tpu.ops.pallas_mv import (
+    HAVE_PALLAS,
+    pack_tiles,
+    tiled_bmv,
+    tiled_bmv_ds,
+    tiled_bmv_multi,
+)
+
+pytestmark = pytest.mark.skipif(not HAVE_PALLAS, reason="no pallas")
+
+NE, NB, TILE = 37, 14, 16  # deliberately non-multiple ne
+
+
+def _data(seed=0, m=NB):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((NE, m, NB)).astype(np.float32)
+    x = rng.standard_normal((NB, NE)).astype(np.float32)
+    return A, x
+
+
+def _pad_soa(x):
+    ntile = -(-NE // TILE)
+    out = np.zeros((x.shape[0], ntile * TILE), np.float32)
+    out[:, :NE] = x
+    return jnp.asarray(out)
+
+
+def test_pack_tiles_roundtrip():
+    A, _ = _data()
+    A_t = pack_tiles(A, TILE)
+    ntile = -(-NE // TILE)
+    assert A_t.shape == (ntile, NB, NB, TILE)
+    # element e lives at tile e//TILE, lane e%TILE
+    for e in (0, 1, NE - 1):
+        np.testing.assert_array_equal(A_t[e // TILE, :, :, e % TILE], A[e])
+    # padding lanes are zero
+    assert np.all(A_t[-1, :, :, NE - (ntile - 1) * TILE:] == 0.0)
+
+
+def test_tiled_bmv_matches_einsum():
+    A, x = _data()
+    want = np.einsum("eij,je->ie", A, x)
+    got = tiled_bmv(jnp.asarray(pack_tiles(A, TILE)), _pad_soa(x),
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got)[:, :NE], want, rtol=2e-6,
+                               atol=1e-5)
+
+
+def test_tiled_bmv_rectangular():
+    m = 6
+    A, x = _data(m=m)
+    want = np.einsum("eij,je->ie", A, x)
+    got = tiled_bmv(jnp.asarray(pack_tiles(A, TILE)), _pad_soa(x),
+                    interpret=True)
+    assert got.shape[0] == m
+    np.testing.assert_allclose(np.asarray(got)[:, :NE], want, rtol=2e-6,
+                               atol=1e-5)
+
+
+def test_tiled_bmv_multi_is_split_sum():
+    A64 = np.random.default_rng(3).standard_normal((NE, NB, NB))
+    A_hi = A64.astype(np.float32)
+    A_lo = (A64 - A_hi.astype(np.float64)).astype(np.float32)
+    _, x = _data(4)
+    want = np.einsum("eij,je->ie", A_hi, x) + np.einsum(
+        "eij,je->ie", A_lo, x
+    )
+    got = tiled_bmv_multi(
+        jnp.asarray(pack_tiles(A_hi, TILE)),
+        jnp.asarray(pack_tiles(A_lo, TILE)),
+        _pad_soa(x),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got)[:, :NE], want, rtol=2e-6,
+                               atol=1e-5)
+
+
+def test_tiled_bmv_ds_three_products():
+    A64 = np.random.default_rng(5).standard_normal((NE, NB, NB))
+    A_hi = A64.astype(np.float32)
+    A_lo = (A64 - A_hi.astype(np.float64)).astype(np.float32)
+    rng = np.random.default_rng(6)
+    x64 = rng.standard_normal((NB, NE))
+    x_hi = x64.astype(np.float32)
+    x_lo = (x64 - x_hi.astype(np.float64)).astype(np.float32)
+    hh, hl, lh = tiled_bmv_ds(
+        jnp.asarray(pack_tiles(A_hi, TILE)),
+        jnp.asarray(pack_tiles(A_lo, TILE)),
+        _pad_soa(x_hi),
+        _pad_soa(x_lo),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hh)[:, :NE], np.einsum("eij,je->ie", A_hi, x_hi),
+        rtol=2e-6, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(hl)[:, :NE], np.einsum("eij,je->ie", A_hi, x_lo),
+        rtol=2e-6, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(lh)[:, :NE], np.einsum("eij,je->ie", A_lo, x_hi),
+        rtol=2e-6, atol=1e-5)
+    # double-single combination approximates the f64 product
+    want = np.einsum("eij,je->ie", A64, x64)
+    ds = (np.asarray(hh).astype(np.float64)
+          + np.asarray(hl).astype(np.float64)
+          + np.asarray(lh).astype(np.float64))[:, :NE]
+    np.testing.assert_allclose(ds, want, rtol=0, atol=3e-6 * np.abs(want).max())
