@@ -12,15 +12,17 @@ condensation, solved the TPU-native way:
   preconditioner; all applies SCATTER-FREE face-block kernels
   (ops/faceblock.py; the round-2 gather/scatter formulation measured
   7.0 ms per A-apply vs 1.0 ms now).
-* phase 2 — MINRES refinement passes on the TRUE emulated-f64 operators
-  (now scatter-free face-block applies, ~20x cheaper per apply than the
-  round-2 dof-level formulation) with the f32 skeleton preconditioner
-  wrapped by congruence (D preA32 D ~ A^{-1}).  Two cheaper phase-2
-  candidates measured and rejected at bench scale: the double-single
-  (3x f32) matvec floors near 1e-6 — row cancellation in the equilibrated
-  condensed operator amplifies the f32 accumulation noise (fine at small
-  scale, tests/test_ds_ops.py) — and BPCG's amortized A*s recurrence
-  drifts ~400x from the true residual under that same noise.
+* phase 2 — MINRES refinement passes on the equilibrated correction
+  system with COMPENSATED double-single operators: a Pallas
+  two_prod/two_sum kernel (ops/pallas_mv.py) that streams the hi/lo f32
+  tables at f32 speed while capturing every f32 rounding error — 3e-13
+  row-relative accuracy, 3.3 ms vs 34.4 ms for the emulated-f64 apply at
+  243k dofs.  (The PLAIN 3x-f32 double-single matvec floors near 1e-6:
+  row cancellation in the equilibrated condensed operator amplifies the
+  f32 accumulation noise; and BPCG's amortized A*s recurrence drifts
+  ~400x from the true residual under that same noise — both measured and
+  rejected in round 3.)  Off-TPU the comp operators fall back to native
+  f64 einsums.
 
 * transient — DoTimeStep throughput (steps/sec, warm), the reference's
   SIMPLE time loop (NavierStokesSIMPLE_iterative.py:427-438 via
@@ -105,6 +107,46 @@ def make_geometry(mesh):
         return None
 
 
+_CACHE_KEYS = {
+    "tabs3d": 5, "tabs3d_curved": 5, "cond": 2, "cond_curved": 2,
+}
+
+
+def load_disk_cache(cache: dict, tag: str):
+    """Warm the in-process assembly cache from /tmp — host assembly +
+    condensation at maxh=0.09 is ~13 min of single-core numpy per process;
+    the tables are deterministic functions of (maxh, geometry)."""
+    path = os.environ.get("BENCH_ASM_CACHE",
+                          f"/tmp/nstpu_asm_{tag}.npz")
+    if not path or not os.path.exists(path):
+        return path
+    try:
+        z = np.load(path)
+        for key, n in _CACHE_KEYS.items():
+            names = [f"{key}_{i}" for i in range(n)]
+            if all(nm in z for nm in names):
+                cache[key] = tuple(z[nm] for nm in names)
+        log(f"assembly cache loaded: {sorted(cache)} from {path}")
+    except Exception as e:
+        log("assembly cache load failed:", repr(e))
+    return path
+
+
+def save_disk_cache(cache: dict, path: str):
+    if not path:
+        return
+    try:
+        flat = {}
+        for key, tup in cache.items():
+            if key in _CACHE_KEYS and len(tup) == _CACHE_KEYS[key]:
+                for i, a in enumerate(tup):
+                    flat[f"{key}_{i}"] = np.asarray(a)
+        np.savez(path, **flat)
+        log(f"assembly cache saved: {sorted(cache)} -> {path}")
+    except Exception as e:
+        log("assembly cache save failed:", repr(e))
+
+
 def build(mesh, dtype, preconditioner, cache=None, geometry=None):
     from navier_stokes_tpu.models.navier_stokes_mcs import NavierStokesMCS
 
@@ -153,6 +195,70 @@ def measure_transient(device, mesh, cache, n_steps=None, geometry=None):
     return n_steps, t
 
 
+def probe_ops(device, mesh, cache=None, geometry=None):
+    """BENCH_PROBE=1: time each hot operator apply at bench scale and exit.
+    Tells us where a Krylov iteration's milliseconds go (phase-1 f32 K,
+    preA, preM; phase-2 f64 K, congruence preA)."""
+    from navier_stokes_tpu.solvers import equilibrated_f32_ops
+
+    jax.config.update(
+        "jax_default_matmul_precision",
+        "highest" if device.platform == "tpu" else None,
+    )
+    with jax.default_device(device):
+        t0 = time.perf_counter()
+        m64 = build(mesh, jnp.float64, "faceblock", cache=cache,
+                    geometry=geometry)
+        ops32, D = equilibrated_f32_ops(
+            m64, gs=bool(int(os.environ.get("BENCH_GS", "0"))), split=True
+        )
+        log(f"setup {time.perf_counter() - t0:.1f}s ndof={m64.n}+{m64.Q.ndof}")
+        u32 = jnp.ones(m64.n, jnp.float32)
+        p32 = jnp.ones(m64.Q.ndof, jnp.float32)
+        u64 = jnp.ones(m64.n, jnp.float64)
+        p64 = jnp.ones(m64.Q.ndof, jnp.float64)
+        preA32s = ops32["preA"]
+
+        def preA64(r):
+            return D * preA32s((D * r).astype(jnp.float32)).astype(
+                jnp.float64)
+
+        probes = [
+            ("A32 split", ops32["A"], u32),
+            ("BT32*B32", lambda u: ops32["BT"](ops32["B"](u)), u32),
+            ("preA32", preA32s, u32),
+            ("preM32", ops32["preM"], p32),
+            ("A64", m64.A, u64),
+            ("BT64*B64", lambda u: m64.BT(m64.B(u)), u64),
+            ("preA64 (congruence)", preA64, u64),
+            ("preM64", m64.preM, p64),
+        ]
+        for name, fn, x in probes:
+            try:
+                K = 30
+
+                @jax.jit
+                def chain(v, fn=fn):
+                    def body(i, w):
+                        y = fn(w)
+                        return y / jnp.maximum(
+                            jnp.linalg.norm(y.ravel()[:512]), 1e-30)
+
+                    return jax.lax.fori_loop(0, K, body, v)
+
+                y = chain(x)
+                jax.block_until_ready(y)
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    y = chain(x)
+                    jax.block_until_ready(y)
+                    ts.append((time.perf_counter() - t0) / K)
+                log(f"  {name:22s} {sorted(ts)[1]*1e3:8.3f} ms")
+            except Exception as e:
+                log(f"  {name:22s} FAILED {repr(e)[:120]}")
+
+
 def measure(device, mesh, cache=None, geometry=None):
     from navier_stokes_tpu.solvers import equilibrated_f32_ops
 
@@ -173,8 +279,12 @@ def measure(device, mesh, cache=None, geometry=None):
         # Jacobi-equilibrated SPLIT f32 inner system: no f64 operator
         # tables ever ship to the device.  BENCH_GS=1 swaps the additive
         # skeleton smoother for the symmetric multi-color block-GS sweep.
-        ops32, D = equilibrated_f32_ops(
-            m64, gs=bool(int(os.environ.get("BENCH_GS", "0"))), split=True
+        # ops_ds: COMPENSATED double-single operators for phase 2 (Pallas
+        # two_prod/two_sum kernel, ~3e-13 row-relative accuracy at f32
+        # streaming speed — 3.3 ms vs 34.4 ms for the emulated-f64 apply).
+        ops32, D, ops_ds = equilibrated_f32_ops(
+            m64, gs=bool(int(os.environ.get("BENCH_GS", "0"))), split=True,
+            with_ds=True,
         )
         f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
         g_mod = -m64.B_raw(m64.u_bc)
@@ -210,33 +320,33 @@ def measure(device, mesh, cache=None, geometry=None):
             ),
             f_mod, g_mod,
         )
-        # phase 2: MINRES on the TRUE f64 correction system A dz = r with
-        # the f32 skeleton preconditioner wrapped by congruence
-        # (A^{-1} ~ D preA32~ D).  Posed on the residual, every quantity
-        # scales with ||r||, so the f32 preconditioner noise is RELATIVE —
-        # each outer pass contracts the true residual by its tolerance.
+        # phase 2: MINRES on the EQUILIBRATED correction system
+        # (D A D) dz~ = D r with COMPENSATED double-single operators and
+        # the f32 skeleton preconditioner (plain casts — the system is
+        # already scaled).  Posed on the residual, every quantity scales
+        # with ||r||, so the f32 preconditioner noise is RELATIVE — each
+        # outer pass contracts the true residual by its tolerance, and the
+        # comp operator's 3e-13 row-relative accuracy clears the 1e-8
+        # target with margin.
         preA32s = ops32["preA"]
+        preM32s = ops32["preM"]
 
-        def preA64(r):
-            return D * preA32s((D * r).astype(jnp.float32)).astype(
-                jnp.float64
-            )
-
-        preM64 = m64.preM
-
-        def K64(x):
+        def K_ds(x):
             u, p = x
-            return (m64.A(u) + m64.BT(p), m64.B(u))
+            return (ops_ds["A"](u) + ops_ds["BT"](p), ops_ds["B"](u))
 
-        def pre64(x):
-            return (preA64(x[0]), preM64(x[1]))
+        def pre_ds(x):
+            return (
+                preA32s(x[0].astype(jnp.float32)).astype(jnp.float64),
+                preM32s(x[1].astype(jnp.float32)).astype(jnp.float64),
+            )
 
         CHUNK64 = int(os.environ.get("BENCH_CHUNK64", "1000"))
         z64 = jnp.zeros_like(f_mod)
         zp64 = jnp.zeros_like(g_mod)
         minres_p2_chunk = hoisted_jit(
             lambda r0, r1, x0, x1: minres(
-                K64, (r0, r1), pre=pre64, sol=(x0, x1),
+                K_ds, (r0, r1), pre=pre_ds, sol=(x0, x1),
                 initialize=False, tol=1e-4, maxsteps=CHUNK64,
                 abs_test=False,
             ),
@@ -273,8 +383,8 @@ def measure(device, mesh, cache=None, geometry=None):
                         break
                 x0 = x0 + D * dx0.astype(jnp.float64)
                 x1 = x1 + dx1.astype(jnp.float64)
-            # phase 2: double-single MINRES refinement passes on the
-            # equilibrated correction system (warm-restarted chunks)
+            # phase 2: compensated double-single MINRES refinement passes
+            # on the equilibrated correction system (warm-restarted chunks)
             _outer = 0
             while _outer < 6 and rel > TOL:
                 r0, r1 = residual64(x0, x1)
@@ -282,13 +392,13 @@ def measure(device, mesh, cache=None, geometry=None):
                 rounds = 0
                 res = None
                 while rounds < 6:
-                    res = minres_p2_chunk(r0, r1, dx0, dx1)
+                    res = minres_p2_chunk(D * r0, r1, dx0, dx1)
                     dx0, dx1 = res.x
                     total_inner += int(res.iterations)
                     rounds += 1
                     if bool(res.converged):
                         break
-                x0n = x0 + dx0
+                x0n = x0 + D * dx0
                 x1n = x1 + dx1
                 r0n, r1n = residual64(x0n, x1n)
                 new_rel = true_rel(r0n, r1n)
@@ -322,9 +432,20 @@ def main():
     log(f"benchmark device: {main_dev}, maxh={MAXH} ({mesh.ne} tets), tol={TOL}")
     cache: dict = {}  # host assembly shared across all four model builds
     geo = make_geometry(mesh)
+    tag = f"{MAXH}_{'straight' if geo is None else 'curved'}"
+    cache_path = load_disk_cache(cache, tag)
+    had_cache = bool(cache)
+
+    if os.environ.get("BENCH_PROBE"):
+        probe_ops(main_dev, mesh, cache, geometry=geo)
+        if not had_cache:
+            save_disk_cache(cache, cache_path)
+        return
 
     try:
         inner, t_main = measure(main_dev, mesh, cache, geometry=geo)
+        if not had_cache:
+            save_disk_cache(cache, cache_path)
     except Exception as e:
         # accelerator unavailable/crashed: fall back to CPU so the bench
         # always emits its JSON line
@@ -343,7 +464,7 @@ def main():
 
     vs_baseline = 1.0
     steps_vs_baseline = 1.0
-    if main_dev.platform != "cpu":
+    if main_dev.platform != "cpu" and not os.environ.get("BENCH_NO_CPU"):
         try:
             # the persistent cache stores CPU AOT results with machine
             # features of the (remote) compile host; reloading them on this
@@ -372,7 +493,7 @@ def main():
         "value": round(ips, 2),
         "unit": (
             f"inner Krylov iterations/sec (split-f32 MINRES refinement + "
-            f"true-f64 face-block polish), 3D MCS channel maxh={MAXH}, "
+            f"compensated double-single polish), 3D MCS channel maxh={MAXH}, "
             f"wall={t_main:.3f}s to f64 rel residual {TOL} on "
             f"{main_dev.platform}"
             + (

@@ -202,6 +202,144 @@ class FaceBlockLayout:
 
         return apply
 
+    def elem_apply_tiled(self, mats_np, tile: int = 256,
+                         interpret: bool = False):
+        """y = (sum_k A_k) u like :meth:`elem_apply_multi`, but streaming
+        TILE-CONTIGUOUS tables through the Pallas VPU kernel
+        (ops/pallas_mv.py) when running on TPU — each grid step's table
+        block is one dense contiguous DMA (measured ~13% over the XLA
+        einsum at bench shapes, scripts/microbench_apply3.py).  Falls back
+        to the einsum path off-TPU.  ``mats_np``: list of 1 or 2
+        (ne, nb, nb) float32 numpy blocks in face-major order (the split
+        hi/lo pair shares one stream pass)."""
+        from .pallas_mv import pack_tiles, pallas_ok, tiled_bmv, tiled_bmv_multi
+
+        if (not interpret and not pallas_ok()) or len(mats_np) > 2:
+            return self.elem_apply_multi(
+                [(jnp.asarray(A, jnp.float32), None) for A in mats_np]
+            )
+        ne, nb = self.ne, self.nb
+        ntile = -(-ne // tile)
+        ne_p = ntile * tile
+        tabs = [jnp.asarray(pack_tiles(np.asarray(A, np.float32), tile))
+                for A in mats_np]
+
+        def apply(u):
+            uF, ui = self.split(u)
+            ue = self.gather_elem(uF, ui)
+            ueT = jnp.concatenate(
+                [ue, jnp.zeros((ne_p - ne, nb), ue.dtype)]).T
+            if len(tabs) == 2:
+                yeT = tiled_bmv_multi(tabs[0], tabs[1], ueT,
+                                      interpret=interpret)
+            else:
+                yeT = tiled_bmv(tabs[0], ueT, interpret=interpret)
+            ye = yeT.T[:ne]
+            yF, yi = self.scatter_elem(ye)
+            return self.join(yF, yi)
+
+        return apply
+
+    def elem_apply_comp(self, A_hi_np, A_lo_np, tile: int = 128,
+                        interpret: bool = False, out_dtype=jnp.float64):
+        """COMPENSATED double-single apply: y (f64) = (A_hi + A_lo) u (f64)
+        through the Pallas two_prod/two_sum kernel (ops/pallas_mv.py) —
+        f32 streaming speed with ~2^-45-of-row-sum accuracy, immune to the
+        row cancellation that floors the plain 3x-f32 ds apply at ~1e-6.
+        This is the phase-2 (endgame) operator: ~10x cheaper than the
+        emulated-f64 element einsum (probe: 34.4 ms -> ~3 ms at 243k dofs).
+        Falls back to a true-f64 einsum off-TPU (native f64 there)."""
+        from .pallas_mv import pack_tiles, pallas_ok, tiled_bmv_comp
+
+        if not interpret and not pallas_ok():
+            A64 = jnp.asarray(
+                np.asarray(A_hi_np, np.float64) + np.asarray(A_lo_np,
+                                                             np.float64),
+                out_dtype,
+            )
+            return self.elem_apply(A64)
+        ne, nb = self.ne, self.nb
+        ntile = -(-ne // tile)
+        ne_p = ntile * tile
+        Ah_t = jnp.asarray(pack_tiles(np.asarray(A_hi_np, np.float32), tile))
+        Al_t = jnp.asarray(pack_tiles(np.asarray(A_lo_np, np.float32), tile))
+
+        def apply(u):
+            uF, ui = self.split(u)
+            ue = self.gather_elem(uF, ui)
+            ue_hi = ue.astype(jnp.float32)
+            ue_lo = (ue - ue_hi.astype(out_dtype)).astype(jnp.float32)
+            pad = ((0, ne_p - ne), (0, 0))
+            yh, yl = tiled_bmv_comp(
+                Ah_t, Al_t,
+                jnp.pad(ue_hi, pad).T, jnp.pad(ue_lo, pad).T,
+                interpret=interpret,
+            )
+            ye = (yh.T[:ne].astype(out_dtype)
+                  + yl.T[:ne].astype(out_dtype))
+            yF, yi = self.scatter_elem(ye)
+            return self.join(yF, yi)
+
+        return apply
+
+    def rect_apply_comp(self, B_hi_np, B_lo_np, eldofs_p, ndof_p,
+                        tile: int = 128, interpret: bool = False,
+                        out_dtype=jnp.float64):
+        """Compensated (B, BT) for the pressure coupling — the f64-accurate
+        companion of :meth:`rect_apply_ds` (same double-single kernel as
+        :meth:`elem_apply_comp`).  BT streams a transposed copy of the
+        blocks packed at setup."""
+        from .pallas_mv import pack_tiles, pallas_ok, tiled_bmv_comp
+
+        m = B_hi_np.shape[1]
+        ed = np.asarray(eldofs_p)
+        expected = np.arange(self.ne)[:, None] * m + np.arange(m)[None, :]
+        assert np.array_equal(ed, expected), "pressure dofs not contiguous"
+        if not interpret and not pallas_ok():
+            B64 = jnp.asarray(
+                np.asarray(B_hi_np, np.float64) + np.asarray(B_lo_np,
+                                                             np.float64),
+                out_dtype,
+            )
+            return self.rect_apply(B64, eldofs_p, ndof_p)
+        ne, nb = self.ne, self.nb
+        ntile = -(-ne // tile)
+        ne_p = ntile * tile
+        pad = ((0, ne_p - ne), (0, 0))
+        Bh = np.asarray(B_hi_np, np.float32)
+        Bl = np.asarray(B_lo_np, np.float32)
+        Bh_t = jnp.asarray(pack_tiles(Bh, tile))
+        Bl_t = jnp.asarray(pack_tiles(Bl, tile))
+        BTh_t = jnp.asarray(pack_tiles(np.ascontiguousarray(
+            Bh.transpose(0, 2, 1)), tile))
+        BTl_t = jnp.asarray(pack_tiles(np.ascontiguousarray(
+            Bl.transpose(0, 2, 1)), tile))
+
+        def _split_pad(xe):
+            x_hi = xe.astype(jnp.float32)
+            x_lo = (xe - x_hi.astype(out_dtype)).astype(jnp.float32)
+            return jnp.pad(x_hi, pad).T, jnp.pad(x_lo, pad).T
+
+        def B_apply(u):
+            uF, ui = self.split(u)
+            ue = self.gather_elem(uF, ui)
+            xh, xl = _split_pad(ue)
+            yh, yl = tiled_bmv_comp(Bh_t, Bl_t, xh, xl,
+                                    interpret=interpret)
+            pe = yh.T[:ne].astype(out_dtype) + yl.T[:ne].astype(out_dtype)
+            return pe.reshape(-1)
+
+        def BT_apply(p):
+            pe = p.reshape(self.ne, m)
+            xh, xl = _split_pad(pe)
+            yh, yl = tiled_bmv_comp(BTh_t, BTl_t, xh, xl,
+                                    interpret=interpret)
+            ye = yh.T[:ne].astype(out_dtype) + yl.T[:ne].astype(out_dtype)
+            yF, yi = self.scatter_elem(ye)
+            return self.join(yF, yi)
+
+        return B_apply, BT_apply
+
     def skel_apply(self, S_perm):
         """y = S u for a skeleton-only operator (ne, 4nfb, 4nfb) in
         face-major order; interiors pass through as zero."""

@@ -46,7 +46,7 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 __all__ = ["pack_tiles", "tiled_bmv", "tiled_bmv_multi", "tiled_bmv_ds",
-           "pallas_ok"]
+           "tiled_bmv_comp", "pallas_ok"]
 
 
 def pallas_ok() -> bool:
@@ -98,6 +98,101 @@ def _mv_ds_kernel(xhi_ref, xlo_ref, ahi_ref, alo_ref, ohh_ref, ohl_ref,
     ohh_ref[:] = _bmv(ahi, xhi)
     ohl_ref[:] = _bmv(ahi, xlo_ref[:])
     olh_ref[:] = _bmv(alo_ref[0], xhi)
+
+
+_SPLIT = 4097.0  # Dekker split constant for f32: 2^12 + 1 (weak-typed
+# Python literal: a jnp scalar would be a captured constant in the kernel)
+
+
+def _two_prod(a, b):
+    """Exact product: returns (p, err) with p + err == a*b exactly (Dekker
+    splitting; Mosaic exposes no fused multiply-add).
+
+    Dekker splitting requires ``a*_SPLIT`` ROUNDED before the subtraction
+    ``ca - a``; LLVM on the CPU interpret path otherwise contracts
+    mul+sub into a fused multiply-subtract with the UNROUNDED product,
+    silently destroying the error term (observed 2.9e-8 instead of
+    1.3e-14 row-relative).  The product is laundered through abs*sign:
+    the same f32 value, and even a contracted fms of the two ROUNDED
+    factors |a*_SPLIT| and sign(a) is exact.  (optimization_barrier is
+    not an option: fusion re-materializes the raw multiply past it, and
+    Mosaic cannot lower the barrier at all.)"""
+    p = a * b
+    ca = jnp.abs(a * _SPLIT) * jnp.sign(a)
+    a1 = ca - (ca - a)
+    a2 = a - a1
+    cb = jnp.abs(b * _SPLIT) * jnp.sign(b)
+    b1 = cb - (cb - b)
+    b2 = b - b1
+    err = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, err
+
+
+def _mv_comp_kernel(nb, xhi_ref, xlo_ref, ahi_ref, alo_ref, ohi_ref,
+                    olo_ref):
+    """Compensated double-single batched matvec.
+
+    y = (A_hi + A_lo)(x_hi + x_lo) accumulated in DOUBLE-SINGLE arithmetic:
+    the dominant products A_hi x_hi are computed exactly (two_prod) and
+    accumulated with two_sum error capture, so row cancellation in the
+    operator does NOT amplify f32 rounding — the failure mode of the plain
+    3x-f32 double-single apply (bench.py header; floors ~1e-6).  Result
+    error is O(eps_f32^2 * sum_j |a_ij x_j|), i.e. ~2^-45 relative to the
+    uncancelled row sum — below the 1e-8 bench target even with ~1e4 row
+    cancellation.  All at f32 streaming speed: the table stream is
+    identical to tiled_bmv_multi; the extra VPU flops (~25/term) ride under
+    the DMA."""
+    ahi = ahi_ref[0]
+    alo = alo_ref[0]
+    m = ahi.shape[0]
+    tile = ahi.shape[2]
+    s = jnp.zeros((m, tile), jnp.float32)
+    sl = jnp.zeros((m, tile), jnp.float32)
+    for j in range(nb):  # static unroll; nb is small (<=64)
+        ah = ahi[:, j, :]
+        xh = xhi_ref[j, :][None, :]
+        p, err = _two_prod(ah, xh)
+        small = ah * xlo_ref[j, :][None, :] + alo[:, j, :] * xh + err
+        # two_sum(s, p).  ``p`` is laundered through abs*sign: XLA's
+        # fusion pass re-materializes the raw product next to its uses and
+        # LLVM then contracts mul+sub into an FMS, substituting the
+        # UNROUNDED product into (p - bb) — which silently destroys the
+        # error capture (observed 2.9e-8 instead of 1.3e-14 row-relative
+        # on the CPU interpret path; optimization_barrier is elided too
+        # late to prevent the duplication).  abs(p)*sign(p) is the same
+        # f32 value, and even a contracted fms of those two ROUNDED
+        # factors yields exactly p.
+        p_safe = jnp.abs(p) * jnp.sign(p)
+        t = s + p_safe
+        bb = t - s
+        e = (s - (t - bb)) + (p_safe - bb)
+        s = t
+        sl = sl + (e + small)
+    ohi_ref[:] = s
+    olo_ref[:] = sl
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_mv_comp(A_hi_t, A_lo_t, x_hi, x_lo, interpret=False):
+    ntile, m, nb, tile = A_hi_t.shape
+    sh = jax.ShapeDtypeStruct((m, ntile * tile), jnp.float32)
+    in_specs, out_specs = _specs(m, nb, tile, 2, 2, 2)
+    return pl.pallas_call(
+        functools.partial(_mv_comp_kernel, nb),
+        out_shape=(sh, sh),
+        grid=(ntile,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(x_hi, x_lo, A_hi_t, A_lo_t)
+
+
+def tiled_bmv_comp(A_hi_t, A_lo_t, x_hi_soa, x_lo_soa,
+                   interpret: bool = False):
+    """Compensated double-single product: (y_hi, y_lo) f32 SoA pair with
+    y_hi + y_lo ~ f64((A_hi+A_lo)(x_hi+x_lo)) to ~2^-45 of the row sum."""
+    return _call_mv_comp(A_hi_t, A_lo_t, x_hi_soa, x_lo_soa,
+                         interpret=interpret)
 
 
 def _specs(m, nb, tile, n_mats, n_x, n_out):

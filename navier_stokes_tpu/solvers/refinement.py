@@ -140,12 +140,19 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
         # the hi/lo matvecs
         lay = m.fb
         A_sp = lay.permute_blocks(A_s)
-        A_hi = jnp.asarray(A_sp, f32)
-        A_lo = jnp.asarray(A_sp - np.asarray(A_hi, np.float64), f32)
-        mats_A = [(A_hi, None)]
-        if split:
-            mats_A.append((A_lo, None))
-        _A32 = lay.elem_apply_multi(mats_A)
+        A_hi_np = A_sp.astype(np.float32)
+        A_lo_np = (A_sp - A_hi_np.astype(np.float64)).astype(np.float32)
+        A_hi = jnp.asarray(A_hi_np)
+        A_lo = jnp.asarray(A_lo_np)
+        mats_np = [A_hi_np] + ([A_lo_np] if split else [])
+        import os as _os
+
+        if _os.environ.get("NSTPU_PALLAS", "1") != "0":
+            # tile-contiguous Pallas stream on TPU, einsum elsewhere
+            _A32 = lay.elem_apply_tiled(mats_np)
+        else:
+            _A32 = lay.elem_apply_multi([(A, None) for A in
+                                         (A_hi, A_lo)[: len(mats_np)]])
 
         def A32(u):
             uf = jnp.where(free_j, u, 0.0)
@@ -168,13 +175,19 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
             return jnp.where(free_j, _BT32(p), 0.0)
 
         if with_ds:
-            # double-single (f64-vector, 3x f32 matvec) operators on the
-            # SAME equilibrated system — the phase-2 polish path
-            # (VERDICT.md round-3 item 3): ~100x cheaper per apply than
-            # the emulated-f64 element einsum
-            _A_ds = lay.elem_apply_ds(A_hi, A_lo)
-            _B_ds, _BT_ds = lay.rect_apply_ds(
-                B_hi, B_lo, m.Q.element_dofs, nQ
+            # COMPENSATED double-single operators on the SAME equilibrated
+            # system — the phase-2 polish path (VERDICT.md round-3 item 3).
+            # Unlike the plain 3x-f32 ds apply (elem_apply_ds, floors
+            # ~1e-6 under row cancellation), the two_prod/two_sum Pallas
+            # kernel holds ~2^-45 of the row sum (3e-13 measured at bench
+            # shapes) at f32 streaming speed: 3.3 ms vs 34.4 ms for the
+            # emulated-f64 element einsum at 243k dofs.
+            _A_ds = lay.elem_apply_comp(A_hi_np, A_lo_np)
+            _B_ds, _BT_ds = lay.rect_apply_comp(
+                B_sp.astype(np.float32),
+                (B_sp - B_sp.astype(np.float32).astype(np.float64)
+                 ).astype(np.float32),
+                m.Q.element_dofs, nQ,
             )
 
             def A_ds(u):

@@ -144,3 +144,23 @@ def test_face_star_smoother_matches_block_jacobi(setup):
     y_ref = ref_smooth(x) * jnp.asarray(fmask)
     y = sm.smooth(x)
     assert float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref)) < 1e-12
+
+
+def test_elem_apply_tiled_interpret(setup):
+    """The TPU tiled (Pallas) apply path — pad/transpose wiring + kernel —
+    matches elem_apply_multi, run in interpret mode on CPU."""
+    _, Xv, lay, rng = setup
+    ne, nb = np.asarray(Xv.element_dofs).shape
+    A64 = rng.standard_normal((ne, nb, nb))
+    A_p = lay.permute_blocks(A64)
+    A_hi = A_p.astype(np.float32)
+    A_lo = (A_p - A_hi.astype(np.float64)).astype(np.float32)
+    u = jnp.asarray(rng.standard_normal(Xv.ndof), jnp.float32)
+    want = lay.elem_apply_multi(
+        [(jnp.asarray(A_hi), None), (jnp.asarray(A_lo), None)]
+    )(u)
+    got = lay.elem_apply_tiled([A_hi, A_lo], tile=64, interpret=True)(u)
+    assert float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want)) < 1e-6
+    got1 = lay.elem_apply_tiled([A_hi], tile=64, interpret=True)(u)
+    want1 = lay.elem_apply(jnp.asarray(A_hi))(u)
+    assert float(jnp.linalg.norm(got1 - want1) / jnp.linalg.norm(want1)) < 1e-6

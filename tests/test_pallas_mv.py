@@ -16,6 +16,7 @@ from navier_stokes_tpu.ops.pallas_mv import (
     HAVE_PALLAS,
     pack_tiles,
     tiled_bmv,
+    tiled_bmv_comp,
     tiled_bmv_ds,
     tiled_bmv_multi,
 )
@@ -119,3 +120,41 @@ def test_tiled_bmv_ds_three_products():
           + np.asarray(hl).astype(np.float64)
           + np.asarray(lh).astype(np.float64))[:, :NE]
     np.testing.assert_allclose(ds, want, rtol=0, atol=3e-6 * np.abs(want).max())
+
+
+def test_tiled_bmv_comp_cancellation():
+    """The compensated kernel keeps accuracy under heavy row cancellation —
+    exactly the failure mode that floors the plain 3x-f32 double-single
+    apply at ~1e-6 (bench.py header)."""
+    rng = np.random.default_rng(11)
+    A64 = rng.standard_normal((NE, NB, NB))
+    x64 = rng.standard_normal((NB, NE))
+    # engineer ~1e5 cancellation: column-1 terms cancel the (boosted)
+    # column-0 terms, so each row sum is ~1e-5 of its term magnitudes
+    A64[:, :, 0] *= 1e5
+    A64[:, :, 1] = -A64[:, :, 0] * (x64[0] / x64[1])[:, None]
+    want = np.einsum("eij,je->ie", A64, x64)
+    # per-output uncancelled row scale sum_j |a_ij x_j|: (NB_out, NE)
+    scale = np.einsum("eij,je->ie", np.abs(A64), np.abs(x64))
+    A_hi = A64.astype(np.float32)
+    A_lo = (A64 - A_hi.astype(np.float64)).astype(np.float32)
+    x_hi = x64.astype(np.float32)
+    x_lo = (x64 - x_hi.astype(np.float64)).astype(np.float32)
+    yh, yl = tiled_bmv_comp(
+        jnp.asarray(pack_tiles(A_hi, TILE)),
+        jnp.asarray(pack_tiles(A_lo, TILE)),
+        _pad_soa(x_hi), _pad_soa(x_lo), interpret=True,
+    )
+    got = (np.asarray(yh).astype(np.float64)
+           + np.asarray(yl).astype(np.float64))[:, :NE]
+    err = np.abs(got - want) / np.maximum(scale, 1e-300)
+    assert err.max() < 1e-12, f"comp error {err.max():.2e} vs row scale"
+    # and the PLAIN ds product is demonstrably worse on the same data
+    plain = (np.einsum("eij,je->ie", A_hi, x_hi, dtype=np.float32)
+             .astype(np.float64)
+             + np.einsum("eij,je->ie", A_hi, x_lo, dtype=np.float32)
+             .astype(np.float64)
+             + np.einsum("eij,je->ie", A_lo, x_hi, dtype=np.float32)
+             .astype(np.float64))
+    plain_err = np.abs(plain - want) / np.maximum(scale, 1e-300)
+    assert plain_err.max() > 10 * err.max()
