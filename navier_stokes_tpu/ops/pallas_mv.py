@@ -50,11 +50,15 @@ __all__ = ["pack_tiles", "tiled_bmv", "tiled_bmv_multi", "tiled_bmv_ds",
 
 
 def pallas_ok() -> bool:
-    """True when the Pallas TPU path can run on the default backend."""
+    """True when the Pallas TPU path can run on the CURRENT default device
+    (respects ``with jax.default_device(...)`` — the bench's CPU-fallback
+    path re-builds operators under a CPU default device while the TPU
+    backend still exists)."""
     if not HAVE_PALLAS:
         return False
     try:
-        return jax.devices()[0].platform in ("tpu",)
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        return getattr(dev, "platform", None) == "tpu"
     except Exception:
         return False
 
@@ -195,17 +199,28 @@ def tiled_bmv_comp(A_hi_t, A_lo_t, x_hi_soa, x_lo_soa,
                          interpret=interpret)
 
 
+def _zero(i):
+    # index-map zero with the SAME dtype as the grid index: under
+    # jax_enable_x64 a Python literal 0 traces as i64 while the grid index
+    # is i32, and Mosaic fails to legalize the mixed-type index-map return
+    # ("func.return"(i64, i32) — observed on the first x64 bench run)
+    return i - i
+
+
 def _specs(m, nb, tile, n_mats, n_x, n_out):
     in_specs = [
-        pl.BlockSpec((nb, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((nb, tile), lambda i: (_zero(i), i),
+                     memory_space=pltpu.VMEM)
         for _ in range(n_x)
     ] + [
-        pl.BlockSpec((1, m, nb, tile), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, m, nb, tile),
+                     lambda i: (i, _zero(i), _zero(i), _zero(i)),
                      memory_space=pltpu.VMEM)
         for _ in range(n_mats)
     ]
     out_specs = [
-        pl.BlockSpec((m, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((m, tile), lambda i: (_zero(i), i),
+                     memory_space=pltpu.VMEM)
         for _ in range(n_out)
     ]
     return in_specs, out_specs

@@ -12,8 +12,15 @@ import sys
 
 sys.path.insert(0, ".")
 
+import os
+
 import jax
 
+if os.environ.get("NSTPU_SWEEP_CPU", "1") != "0":
+    # parity artifact: run on the (deterministic) CPU backend by default.
+    # The sandbox's sitecustomize pins JAX_PLATFORMS=axon and ignores the
+    # env var, so the platform must be forced via jax.config.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
@@ -55,8 +62,12 @@ if __name__ == "__main__":
     # wall-clock-bounded subset, override via argv: run_ns_sweep.py full
     full = "full" in sys.argv[1:]
     mcs = "--taylor-hood" not in sys.argv[1:]
-    mesh_sizes = [2.0**-e for e in ([5, 4, 3, 2, 1, 0] if full else [3, 2, 1])]
-    orders = list(range(7, 1, -1)) if full else ([3, 2] if mcs else [4, 3, 2])
+    # full grid = the reference's h = 2^-5..1 x order 7..2
+    # (run_navier_stokes_parameter_sweep.py:44-45), cheapest configs first
+    # so a wall-clock-bounded run still covers most of the grid (the CSV is
+    # rewritten after every config)
+    mesh_sizes = [2.0**-e for e in ([0, 1, 2, 3, 4, 5] if full else [3, 2, 1])]
+    orders = list(range(2, 8)) if full else ([3, 2] if mcs else [4, 3, 2])
     data_file = "data.csv"
 
     frames = []
