@@ -233,6 +233,14 @@ def probe_ops(device, mesh, cache=None, geometry=None):
             ("preA64 (congruence)", preA64, u64),
             ("preM64", m64.preM, p64),
         ]
+        parts = getattr(preA32s, "parts", None)
+        if parts:
+            lay = parts["layout"]
+            xF32 = jnp.ones((lay.nface, lay.nfb), jnp.float32)
+            for key in ("pre_skel", "coarse_only", "smooth_only"):
+                fn = parts.get(key)
+                if fn is not None:
+                    probes.append((f"preA32.{key}", fn, xF32))
         for name, fn, x in probes:
             try:
                 K = 30

@@ -403,8 +403,12 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv_j, S_loc,
             return jnp.where(freeF, yF, 0.0)
 
         rng = np.random.default_rng(7)
+        # example vector in the COMPUTE dtype (>= f32): with bf16-stored
+        # tables the mixed-precision einsums still produce f32, and the
+        # damping power iteration needs that accuracy
         exF = jnp.asarray(
-            rng.standard_normal((lay.nface, nfb)), sdt
+            rng.standard_normal((lay.nface, nfb)),
+            jnp.promote_types(sdt, jnp.float32),
         ) * freeF
         coarse_gs, _, _ = damped_coarse(coarse_faces, S_faces, exF)
 
@@ -437,6 +441,19 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv_j, S_loc,
         y = lay.join(yF, yi)
         return jnp.where(free, y, x)
 
+    # component probes (face-layout in/out), for BENCH_PROBE breakdowns:
+    # which of {smoother tables, coarse AMG small-op latency, extension
+    # einsums} owns the preA milliseconds decides the next optimization
+    preA.parts = {
+        "pre_skel": pre_skel_faces,
+        "coarse_only": (coarse_gs if gs else
+                        (lambda rF: lay.split(coarse(lay.join(
+                            rF, jnp.zeros((ne, n_int), rF.dtype))))[0])),
+        "smooth_only": (sm.smooth_faces if not gs else None),
+        "ext": ext_fb,
+        "extT": extT_fb,
+        "layout": lay,
+    }
     return preA
 
 

@@ -13,6 +13,8 @@ while-loops) is one jitted program.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -145,8 +147,6 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
         A_hi = jnp.asarray(A_hi_np)
         A_lo = jnp.asarray(A_lo_np)
         mats_np = [A_hi_np] + ([A_lo_np] if split else [])
-        import os as _os
-
         if _os.environ.get("NSTPU_PALLAS", "1") != "0":
             # tile-contiguous Pallas stream on TPU, einsum elsewhere
             _A32 = lay.elem_apply_tiled(mats_np)
@@ -261,9 +261,16 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
                     free_j, asm.scatter_add(ue, eldofs_j, n), 0.0
                 )
 
+    # NSTPU_SMOOTHER_BF16=1 stores the smoother's inverse tables (the
+    # dominant HBM stream of the phase-1 iteration: edge-star block
+    # inverses + harmonic-extension + skeleton blocks, ~0.9 GB/apply at
+    # 243k dofs) in bfloat16; arithmetic stays f32 via mixed-precision
+    # einsums.  A preconditioner only needs ~1% accuracy — the table
+    # stream halves.
+    store = jnp.bfloat16 if _os.environ.get("NSTPU_SMOOTHER_BF16") else None
     preA32 = build_skeleton_preconditioner_3d(
         m.Xv, A_s, m._dirich, f32, coarse_coefficient=m.nu, gs=gs,
-        dof_scale=D,
+        dof_scale=D, store_dtype=store,
     )
     diag_Mp32 = jnp.asarray(m._diag_Mp, f32)
     nu32 = jnp.asarray(m.nu, f32)
