@@ -395,7 +395,12 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv_j, S_loc,
             for f in sm.block_faces
         ]
         colors = color_blocks(blocks_fb, lay.nface * nfb, lay.eldofs_fb)
-        groups = sm.color_groups(colors)
+        # row-panel groups: each color's residual is computed fresh from
+        # ROW PANELS of S at just that color's faces (3 full-S streams per
+        # sweep direction, color-count independent) instead of a full
+        # skeleton apply per color (2 x ncolors streams — the dominant
+        # cost of the recompute sweep; see color_row_groups)
+        groups = sm.color_row_groups(colors, S_perm_np, sdt)
 
         def coarse_faces(rF):
             r = lay.join(rF, jnp.zeros((ne, n_int), rF.dtype))
@@ -413,15 +418,14 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv_j, S_loc,
         coarse_gs, _, _ = damped_coarse(coarse_faces, S_faces, exF)
 
         def pre_skel_faces(xF):
-            y = jnp.zeros_like(xF)
+            y = None  # zero iterate: the first color reads xF directly
             for g in groups:  # forward sweep
-                r = xF - S_faces(y)
-                y = y + sm.solve_color(g, r)
+                dy = sm.solve_color_rows(g, xF, y)
+                y = dy if y is None else y + dy
             r = xF - S_faces(y)
             y = y + coarse_gs(r)
             for g in reversed(groups):  # backward sweep
-                r = xF - S_faces(y)
-                y = y + sm.solve_color(g, r)
+                y = y + sm.solve_color_rows(g, xF, y)
             return y
 
     else:

@@ -608,6 +608,125 @@ class FaceStarSmoother:
         )
         return jnp.where(self.freeF, slots[pos1], 0.0)
 
+    # -- row-panel GS: fresh per-color residual without full S applies ---
+
+    def color_row_groups(self, colors: np.ndarray, S_perm_np: np.ndarray,
+                         sdt=jnp.float32):
+        """Per-color solve groups that compute the color's residual from
+        ROW PANELS of S instead of a full skeleton apply.
+
+        The recompute sweep (``xF - S_faces(y)`` before every color) streams
+        the full element-block table S once per color per direction —
+        2 x ncolors full streams per GS apply, the dominant cost of the
+        gs=True preconditioner (measured ~15 ms vs 8 ms additive at 243k
+        dofs).  But color g's block solves only read the residual at color-g
+        faces, and a face belongs to exactly 3 edge-stars (its 3 edges, all
+        differently colored — same-color blocks share no element), so
+        computing r fresh at just those rows streams each face's row panel
+        3x per direction total: 3 full-S streams per direction instead of
+        ncolors, independent of the color count.
+
+        Per color: for each member face f and each of its <=2 adjacent
+        elements e, the panel S_e[rows of f's slot, :] (nfb, n_skel) times
+        the element's current skeleton iterate gives (S y)|_f.  Panels are
+        free-masked (rows AND columns) at setup, matching S_faces' masking.
+
+        ``colors``: (nblocks,) in bucket order.  ``S_perm_np``: (ne,
+        n_skel, n_skel) face-major skeleton element blocks (numpy).
+        Returns groups for :meth:`solve_color_rows`.
+        """
+        lay = self.layout
+        nfb, nface, ne = lay.nfb, lay.nface, lay.ne
+        n_skel = lay.n_skel
+        efaces = np.asarray(lay.efaces)
+        pos = np.asarray(lay.pos)  # face -> <=2 (elem*4+lf), pad ne*4
+        freeF_np = np.asarray(self.freeF)
+        # element-skeleton column mask: free dofs of e's 4 faces
+        colmask = freeF_np[efaces].reshape(ne, n_skel)
+        self._efaces_pad = jnp.asarray(
+            np.concatenate([efaces, np.full((1, 4), nface, np.int64)]),
+            jnp.int32,
+        )
+        ncolors = int(np.max(colors)) + 1
+        base = 0
+        bucket_meta = []
+        for faces_b, inv, _sel in self.buckets:
+            nb_b = faces_b.shape[0]
+            bucket_meta.append((np.asarray(faces_b), inv, base, nb_b))
+            base += nb_b
+        groups = []
+        for c in range(ncolors):
+            parts = []  # (ofs, nb_b, fsz, inv) slices into the color rows
+            faces_list = []
+            pos1 = np.full(nface, -1, np.int64)
+            ofs = 0
+            for faces_b, inv, b0, nb_b in bucket_meta:
+                keep = np.where(colors[b0: b0 + nb_b] == c)[0]
+                if not len(keep):
+                    continue
+                fb = faces_b[keep]
+                fsz = fb.shape[1]
+                flat = fb.ravel()
+                pos1[flat] = ofs + np.arange(len(flat))
+                faces_list.append(flat)
+                parts.append((ofs, len(keep), fsz, inv[jnp.asarray(keep)]))
+                ofs += len(flat)
+            faces_c = np.concatenate(faces_list)
+            nsel = len(faces_c)
+            assert len(np.unique(faces_c)) == nsel, \
+                "same-color blocks share a face"
+            pos1 = np.where(pos1 < 0, nsel, pos1)
+            # adjacency + row panels for the fresh residual at faces_c
+            p2 = pos[faces_c]  # (nsel, 2) elem*4+lf, pad ne*4
+            el2 = p2 // 4
+            lf2 = p2 % 4
+            P = np.zeros((nsel, 2, nfb, n_skel), np.float64)
+            for s in range(2):
+                real = el2[:, s] < ne
+                er = el2[real, s]
+                lr = lf2[real, s]
+                rows = lr[:, None] * nfb + np.arange(nfb)[None, :]
+                pan = S_perm_np[er[:, None, None], rows[:, :, None],
+                                np.arange(n_skel)[None, None, :]]
+                # mask columns (free dofs of the adjacent element) and rows
+                pan = pan * colmask[er][:, None, :]
+                pan = pan * freeF_np[faces_c[real]][:, :, None]
+                P[real, s] = pan
+            groups.append((
+                jnp.asarray(faces_c, jnp.int32),
+                jnp.asarray(np.where(el2 < ne, el2, ne), jnp.int32),
+                jnp.asarray(P, sdt),
+                parts,
+                jnp.asarray(pos1, jnp.int32),
+            ))
+        return groups
+
+    def solve_color_rows(self, group, xF, yF=None):
+        """One color's solves with the residual built from row panels:
+        dy = sum_{b in color} P_b S_b^{-1} (xF - S yF)|_rows(b).
+        ``yF=None`` means the zero iterate (first forward color)."""
+        lay = self.layout
+        nfb, n_skel = lay.nfb, lay.n_skel
+        faces_c, el2, P, parts, pos1 = group
+        xc = jnp.where(self.freeF[faces_c], xF[faces_c], 0.0)
+        if yF is None:
+            rc = xc
+        else:
+            yFp = jnp.concatenate(
+                [yF, jnp.zeros((1, nfb), yF.dtype)]
+            )
+            ye2 = yFp[self._efaces_pad[el2]].reshape(
+                el2.shape[0], 2, n_skel
+            )
+            rc = xc - jnp.einsum("fsrk,fsk->fr", P, ye2)
+        outs = []
+        for ofs, nb_b, fsz, inv in parts:
+            xb = rc[ofs: ofs + nb_b * fsz].reshape(nb_b, fsz * nfb)
+            yb = jnp.einsum("bij,bj->bi", inv, xb)
+            outs.append(yb.reshape(nb_b * fsz, nfb))
+        slots = jnp.concatenate(outs + [jnp.zeros((1, nfb), rc.dtype)])
+        return jnp.where(self.freeF, slots[pos1], 0.0)
+
 
 def face_star_smoother(layout: FaceBlockLayout, S_skel_perm: np.ndarray,
                        free_mask: np.ndarray, dtype=jnp.float32):

@@ -117,6 +117,75 @@ def test_model_applies_match_flat(model):
     assert rel < 1e-12
 
 
+def test_gs_row_sweep_matches_recompute(model):
+    """The row-panel GS sweep (color_row_groups/solve_color_rows — fresh
+    per-color residual from row panels of S, 3 S-streams per direction)
+    is algebraically IDENTICAL to the recompute sweep (full S apply before
+    every color) given the same colors: parity to fp roundoff."""
+    from navier_stokes_tpu.ops.faceblock import (
+        FaceBlockLayout,
+        face_star_smoother,
+    )
+    from navier_stokes_tpu.precond.multicolor import color_blocks
+
+    m = model
+    V = m.Xv
+    hd = V.hdiv
+    nbv = hd.n_basis
+    n_face_tot = 4 * hd.n_face_dofs
+    nfac = V.facet.n_face * 4
+    loc_int = np.arange(n_face_tot, nbv)
+    loc_skel = np.concatenate(
+        [np.arange(n_face_tot), np.arange(nbv, nbv + nfac)]
+    )
+    A_np = m.A_cond_np
+    A_ii = A_np[:, loc_int[:, None], loc_int[None, :]]
+    A_is = A_np[:, loc_int[:, None], loc_skel[None, :]]
+    A_ss = A_np[:, loc_skel[:, None], loc_skel[None, :]]
+    S_loc = A_ss - np.matmul(
+        A_is.transpose(0, 2, 1), np.matmul(np.linalg.inv(A_ii), A_is)
+    )
+    lay = FaceBlockLayout(V)
+    S_perm = lay.permute_skel_blocks(S_loc)
+    sm = face_star_smoother(lay, S_perm, np.asarray(V.free_mask),
+                            jnp.float64)
+    nfb = lay.nfb
+    blocks_fb = [
+        (np.asarray(f)[:, None] * nfb + np.arange(nfb)[None, :]).ravel()
+        for f in sm.block_faces
+    ]
+    colors = color_blocks(blocks_fb, lay.nface * nfb, lay.eldofs_fb)
+    groups_old = sm.color_groups(colors)
+    groups_new = sm.color_row_groups(colors, S_perm, jnp.float64)
+    S_perm_j = jnp.asarray(S_perm)
+    freeF = sm.freeF
+
+    def S_faces(xF):
+        xF = jnp.where(freeF, xF, 0.0)
+        ue = xF[lay.efaces].reshape(lay.ne, lay.n_skel)
+        ye = jnp.einsum("eij,ej->ei", S_perm_j, ue)
+        return jnp.where(freeF, lay.scatter_skel(ye), 0.0)
+
+    rng = np.random.default_rng(3)
+    xF = jnp.asarray(rng.standard_normal((lay.nface, nfb))) * freeF
+
+    y_old = jnp.zeros_like(xF)
+    for g in groups_old:
+        y_old = y_old + sm.solve_color(g, xF - S_faces(y_old))
+    for g in reversed(groups_old):
+        y_old = y_old + sm.solve_color(g, xF - S_faces(y_old))
+
+    y_new = None
+    for g in groups_new:
+        dy = sm.solve_color_rows(g, xF, y_new)
+        y_new = dy if y_new is None else y_new + dy
+    for g in reversed(groups_new):
+        y_new = y_new + sm.solve_color_rows(g, xF, y_new)
+
+    rel = float(jnp.linalg.norm(y_new - y_old) / jnp.linalg.norm(y_old))
+    assert rel < 1e-10, f"row-panel sweep deviates {rel:.3e}"
+
+
 @pytest.mark.parametrize("gs", [False, True])
 def test_skeleton_bf16_store(model, gs):
     """bf16-stored smoother tables (NSTPU_SMOOTHER_BF16 in the bench path)
