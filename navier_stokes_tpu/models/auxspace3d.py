@@ -278,7 +278,8 @@ def build_skeleton_preconditioner_3d(
         # formulation below is ~7x slower per apply on TPU (round-3
         # microbenchmark, scripts/microbench_apply.py)
         return _build_skeleton_fast(
-            V, free, fmask, AinvAis, A_ii_inv_j, S_loc, coarse, gs, sdt,
+            V, free, fmask, AinvAis, A_ii_inv, S_loc, coarse, gs, sdt,
+            cdt=dtype,
         )
 
     blks = [
@@ -350,41 +351,59 @@ def build_skeleton_preconditioner_3d(
     return preA
 
 
-def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv_j, S_loc,
-                         coarse, gs, sdt):
+def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
+                         coarse, gs, sdt, cdt=jnp.float32):
     """Face-block (scatter-free) rendering of the skeleton preconditioner:
     same math as the slow path — exact interior solve + edge-star smoother
     (additive or symmetric multi-color GS) + aux-space coarse on the
-    skeleton Schur complement — with every gather a block-row slice."""
+    skeleton Schur complement — with every gather a block-row slice.
+
+    Every batched block matvec (harmonic extension + transpose, interior
+    solve, skeleton operator, edge-star solves, GS row panels) streams its
+    table through ops/pallas_mv.make_table_apply: tile-contiguous Pallas
+    on TPU (the XLA einsum lane-pads the 48-wide skeleton minor dim 2.7x),
+    einsum elsewhere.  ``sdt`` (e.g. bfloat16) is the table STORAGE dtype;
+    arithmetic stays f32."""
     from ..ops.faceblock import FaceBlockLayout, face_star_smoother
+    from ..ops.pallas_mv import make_table_apply
 
     lay = FaceBlockLayout(V)
     S_perm_np = lay.permute_skel_blocks(S_loc)
-    AinvAis_perm = jnp.asarray(AinvAis[:, :, lay.perm_skel], sdt)
-    sm = face_star_smoother(lay, S_perm_np, np.asarray(fmask), sdt)
+    AinvAis_perm_np = np.ascontiguousarray(AinvAis[:, :, lay.perm_skel])
+    sm = face_star_smoother(lay, S_perm_np, np.asarray(fmask), sdt,
+                            compute_dtype=cdt)
     freeF = sm.freeF
     ne, n_int = lay.ne, lay.n_int
+    ext_apply = make_table_apply(AinvAis_perm_np, store_dtype=sdt,
+                                 compute_dtype=cdt)
+    extT_apply = make_table_apply(
+        np.ascontiguousarray(AinvAis_perm_np.transpose(0, 2, 1)),
+        store_dtype=sdt, compute_dtype=cdt,
+    )
+    inner_apply = make_table_apply(np.asarray(A_ii_inv), store_dtype=sdt,
+                                   compute_dtype=cdt)
 
     def ext_fb(yF, yi_ignored=None):
         """Interiors from skeleton values (face layout)."""
         ys = yF[lay.efaces].reshape(ne, lay.n_skel)
-        return -jnp.einsum("eis,es->ei", AinvAis_perm, ys)
+        return -ext_apply(ys)
 
     def extT_fb(xF, xi):
         """Fold interior residual into the skeleton (face layout)."""
-        rs = -jnp.einsum("eis,ei->es", AinvAis_perm, xi)
+        rs = -extT_apply(xi)
         return xF + lay.scatter_skel(rs)
 
     if gs:
         from ..precond.multicolor import color_blocks, damped_coarse
 
-        S_perm_j = jnp.asarray(S_perm_np, sdt)
+        S_elem_apply = make_table_apply(S_perm_np, store_dtype=sdt,
+                                        compute_dtype=cdt)
 
         def S_faces(xF):
             """Skeleton operator purely in face layout (free-masked)."""
             xF = jnp.where(freeF, xF, 0.0)
             ue = xF[lay.efaces].reshape(ne, lay.n_skel)
-            ye = jnp.einsum("eij,ej->ei", S_perm_j, ue)
+            ye = S_elem_apply(ue)
             return jnp.where(freeF, lay.scatter_skel(ye), 0.0)
 
         # color edge-stars so same-color blocks are operator-decoupled
@@ -441,7 +460,7 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv_j, S_loc,
         xF, xi = lay.split(xf)
         rF = jnp.where(freeF, extT_fb(xF, xi), 0.0)
         yF = pre_skel_faces(rF)
-        yi = ext_fb(yF) + jnp.einsum("eij,ej->ei", A_ii_inv_j, xi)
+        yi = ext_fb(yF) + inner_apply(xi)
         y = lay.join(yF, yi)
         return jnp.where(free, y, x)
 

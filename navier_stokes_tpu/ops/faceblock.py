@@ -477,15 +477,20 @@ class FaceStarSmoother:
     """
 
     def __init__(self, layout: FaceBlockLayout, S_fb_csr, edge_faces,
-                 freeF: np.ndarray, dtype=jnp.float32):
+                 freeF: np.ndarray, dtype=jnp.float32,
+                 compute_dtype=None):
         import scipy.sparse as sp
 
         nfb, nface = layout.nfb, layout.nface
         self.layout = layout
+        self.dtype = dtype
+        self.compute_dtype = compute_dtype or dtype
         nblocks = len(edge_faces)
 
         sizes = np.array([len(f) for f in edge_faces])
         self.buckets = []
+        self._bucket_inv_np: list[np.ndarray] = []
+        self._bucket_apply: list = []  # tiled/einsum per-bucket solves
         self.block_faces: list[np.ndarray] = []  # bucket order
         slot_base = 0
         # face -> (up to 3) slot positions in the concatenated result
@@ -514,9 +519,16 @@ class FaceStarSmoother:
                 for k, f in enumerate(edge_faces[i]):
                     pos3[f, cnt[f]] = slot_base + b * fsz + k
                     cnt[f] += 1
+            from .pallas_mv import make_table_apply
+
             self.buckets.append(
                 (jnp.asarray(faces_b, jnp.int32), jnp.asarray(inv, dtype),
                  np.asarray(sel))
+            )
+            self._bucket_inv_np.append(inv)
+            self._bucket_apply.append(
+                make_table_apply(inv, store_dtype=dtype,
+                                 compute_dtype=self.compute_dtype)
             )
             self.block_faces.extend(faces_b)
             slot_base += len(sel) * fsz
@@ -536,11 +548,14 @@ class FaceStarSmoother:
 
     def smooth_faces(self, xF):
         """Additive Schwarz: yF = sum_blocks P_b S_b^{-1} P_b^T xF."""
+        nfb = self.layout.nfb
         xF = jnp.where(self.freeF, xF, 0.0)
-        parts = [
-            self._bucket_solve(xF, faces_b, inv)
-            for faces_b, inv, _ in self.buckets
-        ]
+        parts = []
+        for (faces_b, _inv, _), solve in zip(self.buckets,
+                                             self._bucket_apply):
+            nb_b, fsz = faces_b.shape
+            xb = xF[faces_b].reshape(nb_b, fsz * nfb)
+            parts.append(solve(xb).reshape(nb_b * fsz, nfb))
         slots = jnp.concatenate(
             parts + [jnp.zeros((1, self.layout.nfb), xF.dtype)]
         )
@@ -647,20 +662,23 @@ class FaceStarSmoother:
             np.concatenate([efaces, np.full((1, 4), nface, np.int64)]),
             jnp.int32,
         )
+        from .pallas_mv import make_table_apply
+
         ncolors = int(np.max(colors)) + 1
         base = 0
         bucket_meta = []
-        for faces_b, inv, _sel in self.buckets:
+        for (faces_b, _inv, _sel), inv_np in zip(self.buckets,
+                                                 self._bucket_inv_np):
             nb_b = faces_b.shape[0]
-            bucket_meta.append((np.asarray(faces_b), inv, base, nb_b))
+            bucket_meta.append((np.asarray(faces_b), inv_np, base, nb_b))
             base += nb_b
         groups = []
         for c in range(ncolors):
-            parts = []  # (ofs, nb_b, fsz, inv) slices into the color rows
+            parts = []  # (ofs, nb_b, fsz, solve) slices into the color rows
             faces_list = []
             pos1 = np.full(nface, -1, np.int64)
             ofs = 0
-            for faces_b, inv, b0, nb_b in bucket_meta:
+            for faces_b, inv_np, b0, nb_b in bucket_meta:
                 keep = np.where(colors[b0: b0 + nb_b] == c)[0]
                 if not len(keep):
                     continue
@@ -669,7 +687,10 @@ class FaceStarSmoother:
                 flat = fb.ravel()
                 pos1[flat] = ofs + np.arange(len(flat))
                 faces_list.append(flat)
-                parts.append((ofs, len(keep), fsz, inv[jnp.asarray(keep)]))
+                parts.append((ofs, len(keep), fsz,
+                              make_table_apply(
+                                  inv_np[keep], store_dtype=sdt,
+                                  compute_dtype=self.compute_dtype)))
                 ofs += len(flat)
             faces_c = np.concatenate(faces_list)
             nsel = len(faces_c)
@@ -692,10 +713,16 @@ class FaceStarSmoother:
                 pan = pan * colmask[er][:, None, :]
                 pan = pan * freeF_np[faces_c[real]][:, :, None]
                 P[real, s] = pan
+            # both adjacent-element panels as ONE (nfb, 2*n_skel) block:
+            # a single tiled stream per color
+            P2 = np.ascontiguousarray(
+                P.transpose(0, 2, 1, 3).reshape(nsel, nfb, 2 * n_skel)
+            )
             groups.append((
                 jnp.asarray(faces_c, jnp.int32),
                 jnp.asarray(np.where(el2 < ne, el2, ne), jnp.int32),
-                jnp.asarray(P, sdt),
+                make_table_apply(P2, store_dtype=sdt,
+                                 compute_dtype=self.compute_dtype),
                 parts,
                 jnp.asarray(pos1, jnp.int32),
             ))
@@ -707,7 +734,7 @@ class FaceStarSmoother:
         ``yF=None`` means the zero iterate (first forward color)."""
         lay = self.layout
         nfb, n_skel = lay.nfb, lay.n_skel
-        faces_c, el2, P, parts, pos1 = group
+        faces_c, el2, P_apply, parts, pos1 = group
         xc = jnp.where(self.freeF[faces_c], xF[faces_c], 0.0)
         if yF is None:
             rc = xc
@@ -716,20 +743,20 @@ class FaceStarSmoother:
                 [yF, jnp.zeros((1, nfb), yF.dtype)]
             )
             ye2 = yFp[self._efaces_pad[el2]].reshape(
-                el2.shape[0], 2, n_skel
+                el2.shape[0], 2 * n_skel
             )
-            rc = xc - jnp.einsum("fsrk,fsk->fr", P, ye2)
+            rc = xc - P_apply(ye2)
         outs = []
-        for ofs, nb_b, fsz, inv in parts:
+        for ofs, nb_b, fsz, solve in parts:
             xb = rc[ofs: ofs + nb_b * fsz].reshape(nb_b, fsz * nfb)
-            yb = jnp.einsum("bij,bj->bi", inv, xb)
-            outs.append(yb.reshape(nb_b * fsz, nfb))
+            outs.append(solve(xb).reshape(nb_b * fsz, nfb))
         slots = jnp.concatenate(outs + [jnp.zeros((1, nfb), rc.dtype)])
         return jnp.where(self.freeF, slots[pos1], 0.0)
 
 
 def face_star_smoother(layout: FaceBlockLayout, S_skel_perm: np.ndarray,
-                       free_mask: np.ndarray, dtype=jnp.float32):
+                       free_mask: np.ndarray, dtype=jnp.float32,
+                       compute_dtype=None):
     """Build a FaceStarSmoother from face-major skeleton element blocks.
 
     ``S_skel_perm``: (ne, 4nfb, 4nfb) numpy, face-major order.
@@ -756,7 +783,8 @@ def face_star_smoother(layout: FaceBlockLayout, S_skel_perm: np.ndarray,
         ],
         axis=1,
     )
-    return FaceStarSmoother(lay, S_csr, edge_faces, freeF, dtype)
+    return FaceStarSmoother(lay, S_csr, edge_faces, freeF, dtype,
+                            compute_dtype=compute_dtype)
 
 
 def _edge_star_faces(mesh) -> list[np.ndarray]:

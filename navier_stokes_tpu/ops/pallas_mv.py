@@ -46,7 +46,7 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 __all__ = ["pack_tiles", "tiled_bmv", "tiled_bmv_multi", "tiled_bmv_ds",
-           "tiled_bmv_comp", "pallas_ok"]
+           "tiled_bmv_comp", "pallas_ok", "make_table_apply"]
 
 
 def pallas_ok() -> bool:
@@ -80,7 +80,11 @@ def _bmv(a, x):
     # y[i, e] = sum_j a[i, j, e] * x[j, e].  Mosaic cannot lower a batched
     # dot_general (the element axis e is a batch dim), so this is an
     # explicit VPU broadcast-multiply-reduce; the op is bandwidth-bound on
-    # the a-stream, so VPU FLOPs are free.
+    # the a-stream, so VPU FLOPs are free.  bf16-STORED tables are cast to
+    # f32 in-register (the DMA stream is the half-width one; arithmetic
+    # stays f32).
+    if a.dtype != x.dtype:
+        a = a.astype(x.dtype)
     return jnp.sum(a * x[None, :, :], axis=1)
 
 
@@ -269,6 +273,54 @@ def _call_mv_ds(A_hi_t, A_lo_t, x_hi, x_lo, interpret=False):
         out_specs=tuple(out_specs),
         interpret=interpret,
     )(x_hi, x_lo, A_hi_t, A_lo_t)
+
+
+def make_table_apply(A_np: np.ndarray, tile: int = 256,
+                     interpret: bool = False, store_dtype=None,
+                     min_pallas_blocks: int = 256,
+                     compute_dtype=jnp.float32):
+    """Generic batched block matvec: fn (nblk, k) f32 -> (nblk, m) f32 for
+    (nblk, m, k) numpy tables.
+
+    On TPU the table is packed tile-contiguous (:func:`pack_tiles`) and
+    streamed through the Pallas VPU kernel — the XLA einsum lane-pads the
+    minor table dimension to 128 (a 48-wide skeleton block reads 2.7x its
+    bytes); the packed layout wastes nothing.  Off-TPU, and for small
+    batches where the tile padding would dominate (< ``min_pallas_blocks``),
+    it falls back to the plain einsum.  ``store_dtype`` (e.g. bfloat16)
+    halves the table stream; arithmetic stays f32 (the kernel casts
+    in-register, the einsum path promotes)."""
+    nblk, m, k = A_np.shape
+    sdt = jnp.dtype(store_dtype or jnp.float32)
+    # the kernel is f32-native (f32 accumulate, bf16 or f32 table stream);
+    # f64-stored tables AND f64 vector arithmetic (the model's own f64
+    # path, where f32-stored tables applied in f64 arithmetic stay a fixed
+    # linear operator) stay on the einsum
+    use_pallas = ((interpret or pallas_ok()) and nblk >= min_pallas_blocks
+                  and sdt in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+                  and jnp.dtype(compute_dtype) == jnp.dtype(jnp.float32))
+    if not use_pallas:
+        # cast DIRECTLY from the source dtype (an f32 detour would corrupt
+        # f64-stored tables)
+        A_j = jnp.asarray(np.asarray(A_np)).astype(sdt)
+
+        def apply(x):
+            return jnp.einsum("bmk,bk->bm", A_j, x)
+
+        return apply
+
+    ntile = -(-nblk // tile)
+    pad = ntile * tile - nblk
+    A_t = jnp.asarray(pack_tiles(np.asarray(A_np), tile)).astype(sdt)
+
+    def apply(x):
+        xT = jnp.concatenate(
+            [x, jnp.zeros((pad, k), x.dtype)]
+        ).T
+        yT = _call_mv(A_t, xT, interpret=interpret)
+        return yT.T[:nblk]
+
+    return apply
 
 
 def tiled_bmv(A_t: jnp.ndarray, x_soa: jnp.ndarray,

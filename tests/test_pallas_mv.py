@@ -158,3 +158,36 @@ def test_tiled_bmv_comp_cancellation():
              .astype(np.float64))
     plain_err = np.abs(plain - want) / np.maximum(scale, 1e-300)
     assert plain_err.max() > 10 * err.max()
+
+def test_make_table_apply_paths():
+    """make_table_apply: pallas (interpret) path == einsum path == numpy,
+    for square and rectangular tables, incl. bf16 storage (arithmetic f32,
+    ~0.4% table rounding)."""
+    from navier_stokes_tpu.ops.pallas_mv import make_table_apply
+
+    rng = np.random.default_rng(7)
+    for m, k in ((NB, NB), (6, NB), (NB, 9)):
+        A = rng.standard_normal((NE, m, k)).astype(np.float32)
+        x = jnp.asarray(rng.standard_normal((NE, k)).astype(np.float32))
+        want = np.einsum("emk,ek->em", A, np.asarray(x))
+        # pallas path (interpret mode, forced on small batch)
+        f_pl = make_table_apply(A, tile=TILE, interpret=True,
+                                min_pallas_blocks=1)
+        np.testing.assert_allclose(np.asarray(f_pl(x)), want, rtol=2e-6,
+                                   atol=1e-5)
+        # einsum fallback (min_pallas_blocks gate)
+        f_es = make_table_apply(A, tile=TILE, min_pallas_blocks=10**9)
+        np.testing.assert_allclose(np.asarray(f_es(x)), want, rtol=2e-6,
+                                   atol=1e-5)
+        # bf16 storage: both paths agree with each other and are ~0.4% off
+        f_pl_bf = make_table_apply(A, tile=TILE, interpret=True,
+                                   min_pallas_blocks=1,
+                                   store_dtype=jnp.bfloat16)
+        f_es_bf = make_table_apply(A, tile=TILE, min_pallas_blocks=10**9,
+                                   store_dtype=jnp.bfloat16)
+        y_pl = np.asarray(f_pl_bf(x))
+        y_es = np.asarray(f_es_bf(x))
+        assert y_pl.dtype == np.float32
+        np.testing.assert_allclose(y_pl, y_es, rtol=2e-6, atol=1e-5)
+        scale = np.abs(want).max()
+        assert np.abs(y_pl - want).max() < 0.05 * scale
