@@ -210,7 +210,7 @@ def probe_ops(device, mesh, cache=None, geometry=None):
         m64 = build(mesh, jnp.float64, "faceblock", cache=cache,
                     geometry=geometry)
         ops32, D = equilibrated_f32_ops(
-            m64, gs=bool(int(os.environ.get("BENCH_GS", "0"))), split=True
+            m64, gs=bool(int(os.environ.get("BENCH_GS", "1"))), split=True
         )
         log(f"setup {time.perf_counter() - t0:.1f}s ndof={m64.n}+{m64.Q.ndof}")
         u32 = jnp.ones(m64.n, jnp.float32)
@@ -284,151 +284,172 @@ def measure(device, mesh, cache=None, geometry=None):
         t0 = time.perf_counter()
         m64 = build(mesh, jnp.float64, "faceblock", cache=cache,
                     geometry=geometry)
-        # Jacobi-equilibrated SPLIT f32 inner system: no f64 operator
-        # tables ever ship to the device.  BENCH_GS=1 swaps the additive
-        # skeleton smoother for the symmetric multi-color block-GS sweep.
-        # ops_ds: COMPENSATED double-single operators for phase 2 (Pallas
-        # two_prod/two_sum kernel, ~3e-13 row-relative accuracy at f32
-        # streaming speed — 3.3 ms vs 34.4 ms for the emulated-f64 apply).
-        ops32, D, ops_ds = equilibrated_f32_ops(
-            m64, gs=bool(int(os.environ.get("BENCH_GS", "0"))), split=True,
-            with_ds=True,
-        )
-        f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
-        g_mod = -m64.B_raw(m64.u_bc)
-        rhs_norm = float(jnp.sqrt(jnp.vdot(f_mod, f_mod) + jnp.vdot(g_mod, g_mod)))
-        log(f"{device.platform} setup {time.perf_counter() - t0:.1f}s "
-            f"ndof={m64.n}+{m64.Q.ndof}")
+        def attempt():
+            # Jacobi-equilibrated SPLIT f32 inner system: no f64 operator
+            # tables ever ship to the device.  BENCH_GS=1 swaps the additive
+            # skeleton smoother for the symmetric multi-color block-GS sweep
+            # (default ON: 628 vs 1600+ inner its on the 3D channel, and the
+            # row-panel sweep makes its per-apply cost comparable).
+            # ops_ds: COMPENSATED double-single operators for phase 2 (Pallas
+            # two_prod/two_sum kernel, ~3e-13 row-relative accuracy at f32
+            # streaming speed — 3.3 ms vs 34.4 ms for the emulated-f64 apply).
+            ops32, D, ops_ds = equilibrated_f32_ops(
+                m64, gs=bool(int(os.environ.get("BENCH_GS", "1"))), split=True,
+                with_ds=True,
+            )
+            f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
+            g_mod = -m64.B_raw(m64.u_bc)
+            rhs_norm = float(jnp.sqrt(jnp.vdot(f_mod, f_mod) + jnp.vdot(g_mod, g_mod)))
+            log(f"{device.platform} setup {time.perf_counter() - t0:.1f}s "
+                f"ndof={m64.n}+{m64.Q.ndof}")
 
-        # Device executions are CHUNKED: the axon tunnel kills executions
-        # running longer than ~60 s.  With the face-block applies one
-        # Krylov iteration is a few ms, so 2000-iteration chunks stay far
-        # below the limit.
-        def K32(x):
-            u, p = x
-            return (ops32["A"](u) + ops32["BT"](p), ops32["B"](u))
+            # Device executions are CHUNKED: the axon tunnel kills executions
+            # running longer than ~60 s.  With the face-block applies one
+            # Krylov iteration is a few ms, so 2000-iteration chunks stay far
+            # below the limit.
+            def K32(x):
+                u, p = x
+                return (ops32["A"](u) + ops32["BT"](p), ops32["B"](u))
 
-        def pre32(x):
-            return (ops32["preA"](x[0]), ops32["preM"](x[1]))
+            def pre32(x):
+                return (ops32["preA"](x[0]), ops32["preM"](x[1]))
 
-        CHUNK32 = int(os.environ.get("BENCH_CHUNK32", "2000"))
-        z32 = jnp.zeros_like(f_mod, jnp.float32)
-        zp32 = jnp.zeros_like(g_mod, jnp.float32)
-        minres_chunk = hoisted_jit(
-            lambda r0s, r1s, x0, x1: minres(
-                K32, (r0s, r1s), pre=pre32, sol=(x0, x1),
-                initialize=False, tol=5e-7, maxsteps=CHUNK32,
-                abs_test=False,
-            ),
-            z32, zp32, z32, zp32,
-        )
-        residual64 = hoisted_jit(
-            lambda u0, u1: (
-                f_mod - m64.A(u0) - m64.BT(u1), g_mod - m64.B(u0)
-            ),
-            f_mod, g_mod,
-        )
-        # phase 2: MINRES on the EQUILIBRATED correction system
-        # (D A D) dz~ = D r with COMPENSATED double-single operators and
-        # the f32 skeleton preconditioner (plain casts — the system is
-        # already scaled).  Posed on the residual, every quantity scales
-        # with ||r||, so the f32 preconditioner noise is RELATIVE — each
-        # outer pass contracts the true residual by its tolerance, and the
-        # comp operator's 3e-13 row-relative accuracy clears the 1e-8
-        # target with margin.
-        preA32s = ops32["preA"]
-        preM32s = ops32["preM"]
+            CHUNK32 = int(os.environ.get("BENCH_CHUNK32", "2000"))
+            z32 = jnp.zeros_like(f_mod, jnp.float32)
+            zp32 = jnp.zeros_like(g_mod, jnp.float32)
+            minres_chunk = hoisted_jit(
+                lambda r0s, r1s, x0, x1: minres(
+                    K32, (r0s, r1s), pre=pre32, sol=(x0, x1),
+                    initialize=False, tol=5e-7, maxsteps=CHUNK32,
+                    abs_test=False,
+                ),
+                z32, zp32, z32, zp32,
+            )
+            residual64 = hoisted_jit(
+                lambda u0, u1: (
+                    f_mod - m64.A(u0) - m64.BT(u1), g_mod - m64.B(u0)
+                ),
+                f_mod, g_mod,
+            )
+            # phase 2: MINRES on the EQUILIBRATED correction system
+            # (D A D) dz~ = D r with COMPENSATED double-single operators and
+            # the f32 skeleton preconditioner (plain casts — the system is
+            # already scaled).  Posed on the residual, every quantity scales
+            # with ||r||, so the f32 preconditioner noise is RELATIVE — each
+            # outer pass contracts the true residual by its tolerance, and the
+            # comp operator's 3e-13 row-relative accuracy clears the 1e-8
+            # target with margin.
+            preA32s = ops32["preA"]
+            preM32s = ops32["preM"]
 
-        def K_ds(x):
-            u, p = x
-            return (ops_ds["A"](u) + ops_ds["BT"](p), ops_ds["B"](u))
+            def K_ds(x):
+                u, p = x
+                return (ops_ds["A"](u) + ops_ds["BT"](p), ops_ds["B"](u))
 
-        def pre_ds(x):
-            return (
-                preA32s(x[0].astype(jnp.float32)).astype(jnp.float64),
-                preM32s(x[1].astype(jnp.float32)).astype(jnp.float64),
+            def pre_ds(x):
+                return (
+                    preA32s(x[0].astype(jnp.float32)).astype(jnp.float64),
+                    preM32s(x[1].astype(jnp.float32)).astype(jnp.float64),
+                )
+
+            CHUNK64 = int(os.environ.get("BENCH_CHUNK64", "1000"))
+            z64 = jnp.zeros_like(f_mod)
+            zp64 = jnp.zeros_like(g_mod)
+            minres_p2_chunk = hoisted_jit(
+                lambda r0, r1, x0, x1: minres(
+                    K_ds, (r0, r1), pre=pre_ds, sol=(x0, x1),
+                    initialize=False, tol=1e-4, maxsteps=CHUNK64,
+                    abs_test=False,
+                ),
+                z64, zp64, z64, zp64,
             )
 
-        CHUNK64 = int(os.environ.get("BENCH_CHUNK64", "1000"))
-        z64 = jnp.zeros_like(f_mod)
-        zp64 = jnp.zeros_like(g_mod)
-        minres_p2_chunk = hoisted_jit(
-            lambda r0, r1, x0, x1: minres(
-                K_ds, (r0, r1), pre=pre_ds, sol=(x0, x1),
-                initialize=False, tol=1e-4, maxsteps=CHUNK64,
-                abs_test=False,
-            ),
-            z64, zp64, z64, zp64,
-        )
+            def true_rel(r0, r1):
+                return float(
+                    jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1))
+                ) / rhs_norm
 
-        def true_rel(r0, r1):
-            return float(
-                jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1))
-            ) / rhs_norm
-
-        def full_solve():
-            x0 = jnp.zeros_like(f_mod)
-            x1 = jnp.zeros_like(g_mod)
-            total_inner = 0
-            rel = 1.0
-            # phase 1: f32 MINRES refinement passes, chunked
-            for _pass in range(8):
-                r0, r1 = residual64(x0, x1)
-                new_rel = true_rel(r0, r1)
-                log(f"  p1 pass {_pass}: rel={new_rel:.3e}")
-                if new_rel <= TOL or (_pass > 0 and new_rel > 0.7 * rel):
-                    rel = min(rel, new_rel)
-                    break
-                rel = new_rel
-                r0s = (D * r0).astype(jnp.float32)
-                r1s = r1.astype(jnp.float32)
-                dx0, dx1 = z32, zp32
-                for _c in range(3):
-                    res = minres_chunk(r0s, r1s, dx0, dx1)
-                    dx0, dx1 = res.x
-                    total_inner += int(res.iterations)
-                    if bool(res.converged):
+            def full_solve():
+                x0 = jnp.zeros_like(f_mod)
+                x1 = jnp.zeros_like(g_mod)
+                total_inner = 0
+                rel = 1.0
+                # phase 1: f32 MINRES refinement passes, chunked
+                for _pass in range(8):
+                    r0, r1 = residual64(x0, x1)
+                    new_rel = true_rel(r0, r1)
+                    log(f"  p1 pass {_pass}: rel={new_rel:.3e}")
+                    if new_rel <= TOL or (_pass > 0 and new_rel > 0.7 * rel):
+                        rel = min(rel, new_rel)
                         break
-                x0 = x0 + D * dx0.astype(jnp.float64)
-                x1 = x1 + dx1.astype(jnp.float64)
-            # phase 2: compensated double-single MINRES refinement passes
-            # on the equilibrated correction system (warm-restarted chunks)
-            _outer = 0
-            while _outer < 6 and rel > TOL:
-                r0, r1 = residual64(x0, x1)
-                dx0, dx1 = z64, zp64
-                rounds = 0
-                res = None
-                while rounds < 6:
-                    res = minres_p2_chunk(D * r0, r1, dx0, dx1)
-                    dx0, dx1 = res.x
-                    total_inner += int(res.iterations)
-                    rounds += 1
-                    if bool(res.converged):
+                    rel = new_rel
+                    r0s = (D * r0).astype(jnp.float32)
+                    r1s = r1.astype(jnp.float32)
+                    dx0, dx1 = z32, zp32
+                    for _c in range(3):
+                        res = minres_chunk(r0s, r1s, dx0, dx1)
+                        dx0, dx1 = res.x
+                        total_inner += int(res.iterations)
+                        if bool(res.converged):
+                            break
+                    x0 = x0 + D * dx0.astype(jnp.float64)
+                    x1 = x1 + dx1.astype(jnp.float64)
+                # phase 2: compensated double-single MINRES refinement passes
+                # on the equilibrated correction system (warm-restarted chunks)
+                _outer = 0
+                while _outer < 6 and rel > TOL:
+                    r0, r1 = residual64(x0, x1)
+                    dx0, dx1 = z64, zp64
+                    rounds = 0
+                    res = None
+                    while rounds < 6:
+                        res = minres_p2_chunk(D * r0, r1, dx0, dx1)
+                        dx0, dx1 = res.x
+                        total_inner += int(res.iterations)
+                        rounds += 1
+                        if bool(res.converged):
+                            break
+                    x0n = x0 + D * dx0
+                    x1n = x1 + dx1
+                    r0n, r1n = residual64(x0n, x1n)
+                    new_rel = true_rel(r0n, r1n)
+                    log(f"  p2 outer {_outer}: rel={new_rel:.3e} (+{rounds} chunks)")
+                    if new_rel >= 0.9 * rel:
+                        # stalled at the double-single noise floor — accept the
+                        # best iterate (the monotonicity guard keeps x)
                         break
-                x0n = x0 + D * dx0
-                x1n = x1 + dx1
-                r0n, r1n = residual64(x0n, x1n)
-                new_rel = true_rel(r0n, r1n)
-                log(f"  p2 outer {_outer}: rel={new_rel:.3e} (+{rounds} chunks)")
-                if new_rel >= 0.9 * rel:
-                    # stalled at the double-single noise floor — accept the
-                    # best iterate (the monotonicity guard keeps x)
-                    break
-                x0, x1, rel = x0n, x1n, new_rel
-                _outer += 1
-            return (x0, x1), rel, total_inner
+                    x0, x1, rel = x0n, x1n, new_rel
+                    _outer += 1
+                return (x0, x1), rel, total_inner
 
-        x, rel, inner = full_solve()  # compile + warmup
-        jax.block_until_ready(x)
-        log(f"{device.platform} cold done: rel_res={rel:.2e} inner={inner}")
-        assert rel <= TOL, f"did not reach {TOL}: {rel}"
-        t0 = time.perf_counter()
-        x, rel, inner = full_solve()
-        jax.block_until_ready(x)
-        t = time.perf_counter() - t0
-        log(f"{device.platform} warm: {t:.3f}s rel={rel:.2e} inner={inner}")
-    return int(inner), t
+            x, rel, inner = full_solve()  # compile + warmup
+            jax.block_until_ready(x)
+            log(f"{device.platform} cold done: rel_res={rel:.2e} inner={inner}")
+            assert rel <= TOL, f"did not reach {TOL}: {rel}"
+            t_w = time.perf_counter()
+            x, rel, inner = full_solve()
+            jax.block_until_ready(x)
+            t = time.perf_counter() - t_w
+            log(f"{device.platform} warm: {t:.3f}s rel={rel:.2e} inner={inner}")
+            return int(inner), t
+
+        # a Mosaic/Pallas lowering failure on a NEW kernel shape must not
+        # dump the device measurement to the CPU fallback — retry once on
+        # the SAME device with the Pallas paths disabled (NSTPU_PALLAS=0;
+        # ops/pallas_mv.make_table_apply and refinement.equilibrated_f32_ops
+        # both honor it at build time)
+        for _try in range(2):
+            try:
+                return attempt()
+            except Exception as e:
+                msg = repr(e).lower()
+                if (_try == 0 and device.platform != "cpu"
+                        and ("mosaic" in msg or "pallas" in msg)):
+                    log("Pallas path failed on device; retrying with "
+                        "NSTPU_PALLAS=0:", repr(e)[:300])
+                    os.environ["NSTPU_PALLAS"] = "0"
+                    continue
+                raise
 
 
 def main():

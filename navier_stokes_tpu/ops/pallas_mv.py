@@ -290,15 +290,20 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
     it falls back to the plain einsum.  ``store_dtype`` (e.g. bfloat16)
     halves the table stream; arithmetic stays f32 (the kernel casts
     in-register, the einsum path promotes)."""
+    import os
+
     nblk, m, k = A_np.shape
     sdt = jnp.dtype(store_dtype or jnp.float32)
     # the kernel is f32-native (f32 accumulate, bf16 or f32 table stream);
     # f64-stored tables AND f64 vector arithmetic (the model's own f64
     # path, where f32-stored tables applied in f64 arithmetic stay a fixed
-    # linear operator) stay on the einsum
+    # linear operator) stay on the einsum.  NSTPU_PALLAS=0 disables (the
+    # bench's Mosaic-failure fallback flips it at runtime).
     use_pallas = ((interpret or pallas_ok()) and nblk >= min_pallas_blocks
                   and sdt in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
-                  and jnp.dtype(compute_dtype) == jnp.dtype(jnp.float32))
+                  and jnp.dtype(compute_dtype) == jnp.dtype(jnp.float32)
+                  and (interpret
+                       or os.environ.get("NSTPU_PALLAS", "1") != "0"))
     if not use_pallas:
         # cast DIRECTLY from the source dtype (an f32 detour would corrupt
         # f64-stored tables)
