@@ -73,6 +73,12 @@ except Exception:
 import jax.numpy as jnp
 import numpy as np
 
+# harmonic-extension + interior tables stored bfloat16 (f32 arithmetic):
+# iteration-count-neutral (650 vs 628 inner its on the 3D channel) and
+# drops ~25% of the preconditioner's HBM stream.  Full-table bf16
+# ("NSTPU_SMOOTHER_BF16=1") measured ~2x the iterations — do not default.
+os.environ.setdefault("NSTPU_SMOOTHER_BF16", "ext")
+
 MAXH = float(os.environ.get("BENCH_MAXH", "0.09"))
 # 0.09 -> 243k velocity dofs + 31k pressure (compute-bound regime)
 TOL = 1e-8

@@ -195,6 +195,7 @@ def build_skeleton_preconditioner_3d(
     coarse_coefficient: float = 1.0, gs: bool = False,
     dof_scale: np.ndarray | None = None,
     store_dtype=None,
+    ext_store_dtype=None,
     fast: bool = True,
 ):
     """Condensation-aware preconditioner for the 3D condensed MCS/HDG
@@ -279,7 +280,7 @@ def build_skeleton_preconditioner_3d(
         # microbenchmark, scripts/microbench_apply.py)
         return _build_skeleton_fast(
             V, free, fmask, AinvAis, A_ii_inv, S_loc, coarse, gs, sdt,
-            cdt=dtype,
+            cdt=dtype, ext_sdt=ext_store_dtype or sdt,
         )
 
     blks = [
@@ -352,7 +353,7 @@ def build_skeleton_preconditioner_3d(
 
 
 def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
-                         coarse, gs, sdt, cdt=jnp.float32):
+                         coarse, gs, sdt, cdt=jnp.float32, ext_sdt=None):
     """Face-block (scatter-free) rendering of the skeleton preconditioner:
     same math as the slow path — exact interior solve + edge-star smoother
     (additive or symmetric multi-color GS) + aux-space coarse on the
@@ -363,24 +364,31 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
     table through ops/pallas_mv.make_table_apply: tile-contiguous Pallas
     on TPU (the XLA einsum lane-pads the 48-wide skeleton minor dim 2.7x),
     einsum elsewhere.  ``sdt`` (e.g. bfloat16) is the table STORAGE dtype;
-    arithmetic stays f32."""
+    arithmetic stays f32.  ``ext_sdt`` overrides storage for the harmonic
+    extension + interior tables only: those are applied ONCE per preA (a
+    ~0.4% bf16 rounding is a mild operator perturbation), while the GS
+    sweep COMPOSES many table applies and measured ~2x the Krylov
+    iterations with bf16 sweep tables — so 'ext-only' bf16 keeps the
+    iteration count and still drops the largest single stream."""
     from ..ops.faceblock import FaceBlockLayout, face_star_smoother
     from ..ops.pallas_mv import make_table_apply
 
     lay = FaceBlockLayout(V)
+    ext_sdt = ext_sdt or sdt
     S_perm_np = lay.permute_skel_blocks(S_loc)
     AinvAis_perm_np = np.ascontiguousarray(AinvAis[:, :, lay.perm_skel])
     sm = face_star_smoother(lay, S_perm_np, np.asarray(fmask), sdt,
                             compute_dtype=cdt)
     freeF = sm.freeF
     ne, n_int = lay.ne, lay.n_int
-    ext_apply = make_table_apply(AinvAis_perm_np, store_dtype=sdt,
+    ext_apply = make_table_apply(AinvAis_perm_np, store_dtype=ext_sdt,
                                  compute_dtype=cdt)
     extT_apply = make_table_apply(
         np.ascontiguousarray(AinvAis_perm_np.transpose(0, 2, 1)),
-        store_dtype=sdt, compute_dtype=cdt,
+        store_dtype=ext_sdt, compute_dtype=cdt,
     )
-    inner_apply = make_table_apply(np.asarray(A_ii_inv), store_dtype=sdt,
+    inner_apply = make_table_apply(np.asarray(A_ii_inv),
+                                   store_dtype=ext_sdt,
                                    compute_dtype=cdt)
 
     def ext_fb(yF, yi_ignored=None):

@@ -261,16 +261,18 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
                     free_j, asm.scatter_add(ue, eldofs_j, n), 0.0
                 )
 
-    # NSTPU_SMOOTHER_BF16=1 stores the smoother's inverse tables (the
-    # dominant HBM stream of the phase-1 iteration: edge-star block
-    # inverses + harmonic-extension + skeleton blocks, ~0.9 GB/apply at
-    # 243k dofs) in bfloat16; arithmetic stays f32 via mixed-precision
-    # einsums.  A preconditioner only needs ~1% accuracy — the table
-    # stream halves.
-    store = jnp.bfloat16 if _os.environ.get("NSTPU_SMOOTHER_BF16") else None
+    # NSTPU_SMOOTHER_BF16 stores smoother tables in bfloat16 (f32
+    # arithmetic):  "ext" = harmonic-extension + interior tables only
+    # (applied once per preA; measured iteration-count-neutral), "1" =
+    # ALL tables including the GS sweep (measured ~2x the Krylov
+    # iterations on the 3D channel — the sweep composes many applies and
+    # compounds the 0.4% rounding; net loss, kept for experiments).
+    bf = _os.environ.get("NSTPU_SMOOTHER_BF16", "")
+    store = jnp.bfloat16 if bf not in ("", "0", "ext") else None
+    ext_store = jnp.bfloat16 if bf == "ext" else None
     preA32 = build_skeleton_preconditioner_3d(
         m.Xv, A_s, m._dirich, f32, coarse_coefficient=m.nu, gs=gs,
-        dof_scale=D, store_dtype=store,
+        dof_scale=D, store_dtype=store, ext_store_dtype=ext_store,
     )
     diag_Mp32 = jnp.asarray(m._diag_Mp, f32)
     nu32 = jnp.asarray(m.nu, f32)

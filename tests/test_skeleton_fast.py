@@ -222,3 +222,34 @@ def test_skeleton_bf16_store(model, gs):
     lhs = float(jnp.vdot(pre_bf(a), b))
     rhs_ = float(jnp.vdot(a, pre_bf(b)))
     assert abs(lhs - rhs_) < 1e-4 * max(abs(lhs), 1.0)
+
+
+def test_skeleton_ext_bf16(model):
+    """ext_store_dtype=bf16 (the bench default, NSTPU_SMOOTHER_BF16=ext):
+    only the once-per-apply harmonic-extension/interior tables are bf16 —
+    measured iteration-count-neutral (650 vs 628 on the 3D channel) where
+    full-table bf16 doubled the count.  The operator stays symmetric and
+    close to the f32-stored one."""
+    from navier_stokes_tpu.models.auxspace3d import (
+        build_skeleton_preconditioner_3d,
+    )
+
+    m = model
+    pre32 = build_skeleton_preconditioner_3d(
+        m.Xv, m.A_cond_np, m._dirich, jnp.float32,
+        coarse_coefficient=m.nu, gs=True,
+    )
+    pre_e = build_skeleton_preconditioner_3d(
+        m.Xv, m.A_cond_np, m._dirich, jnp.float32,
+        coarse_coefficient=m.nu, gs=True, ext_store_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(m.n), jnp.float32)
+    rel = float(jnp.linalg.norm(pre_e(x) - pre32(x))
+                / jnp.linalg.norm(pre32(x)))
+    assert rel < 0.02, f"ext-bf16 deviates {rel:.4f}"
+    a = (x * m.free).astype(jnp.float32)
+    b = (jnp.asarray(rng.standard_normal(m.n)) * m.free).astype(jnp.float32)
+    lhs = float(jnp.vdot(pre_e(a), b))
+    rhs_ = float(jnp.vdot(a, pre_e(b)))
+    assert abs(lhs - rhs_) < 1e-4 * max(abs(lhs), 1.0)
