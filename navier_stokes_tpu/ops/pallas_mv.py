@@ -275,6 +275,59 @@ def _call_mv_ds(A_hi_t, A_lo_t, x_hi, x_lo, interpret=False):
     )(x_hi, x_lo, A_hi_t, A_lo_t)
 
 
+def _mv_kernel_splitk(k, x_ref, *refs):
+    # K tables ride as SEPARATE operands (consecutive-tile grouping:
+    # global tile i*k+j lives in sub j at position i), so Mosaic's
+    # pipeline keeps K block DMAs in flight per grid step instead of one —
+    # the single-stream rate measured ~112 GB/s of the chip's 819.
+    a_refs, o_refs = refs[:k], refs[k:]
+    for j, (a_ref, o_ref) in enumerate(zip(a_refs, o_refs)):
+        o_ref[0] = _bmv(a_ref[0], x_ref[0, j])
+
+
+def _pack_splitk(A_t: np.ndarray, k: int):
+    """(ntile, m, nb, tile) packed table -> k consecutive-tile sub-tables
+    ((ng, m, nb, tile) each), zero-padding ntile up to a multiple of k."""
+    ntile, m, nb, tile = A_t.shape
+    ng = -(-ntile // k)
+    if ng * k != ntile:
+        pad = np.zeros((ng * k - ntile, m, nb, tile), A_t.dtype)
+        A_t = np.concatenate([A_t, pad])
+    grp = A_t.reshape(ng, k, m, nb, tile)
+    return [np.ascontiguousarray(grp[:, j]) for j in range(k)], ng
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _call_mv_splitk(k, x, *A_subs, interpret=False):
+    ng, m, nb, tile = A_subs[0].shape
+    sh = jax.ShapeDtypeStruct((ng, m, tile), jnp.float32)
+    xg = x.reshape(nb, ng, k, tile).transpose(1, 2, 0, 3)  # (ng,k,nb,t)
+    outs = pl.pallas_call(
+        functools.partial(_mv_kernel_splitk, k),
+        out_shape=tuple(sh for _ in range(k)),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, k, nb, tile),
+                         lambda i: (i, _zero(i), _zero(i), _zero(i)),
+                         memory_space=pltpu.VMEM)
+        ] + [
+            pl.BlockSpec((1, m, nb, tile),
+                         lambda i: (i, _zero(i), _zero(i), _zero(i)),
+                         memory_space=pltpu.VMEM)
+            for _ in range(k)
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, m, tile), lambda i: (i, _zero(i), _zero(i)),
+                         memory_space=pltpu.VMEM)
+            for _ in range(k)
+        ),
+        interpret=interpret,
+    )(xg, *A_subs)
+    # outs[j][i] = global tile i*k+j -> (m, ng*k*tile)
+    y = jnp.stack(outs, axis=1)  # (ng, k, m, tile)
+    return y.transpose(2, 0, 1, 3).reshape(m, ng * k * tile)
+
+
 def make_table_apply(A_np: np.ndarray, tile: int = 256,
                      interpret: bool = False, store_dtype=None,
                      min_pallas_blocks: int = 256,
@@ -314,9 +367,23 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
 
         return apply
 
-    ntile = -(-nblk // tile)
+    split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
+    A_packed = pack_tiles(np.asarray(A_np), tile)
+    if split_k > 1:
+        subs_np, ng = _pack_splitk(A_packed, split_k)
+        subs = tuple(jnp.asarray(a).astype(sdt) for a in subs_np)
+        pad = ng * split_k * tile - nblk
+
+        def apply(x):
+            xT = jnp.concatenate([x, jnp.zeros((pad, k), x.dtype)]).T
+            yT = _call_mv_splitk(split_k, xT, *subs, interpret=interpret)
+            return yT.T[:nblk]
+
+        return apply
+
+    ntile = A_packed.shape[0]
     pad = ntile * tile - nblk
-    A_t = jnp.asarray(pack_tiles(np.asarray(A_np), tile)).astype(sdt)
+    A_t = jnp.asarray(A_packed).astype(sdt)
 
     def apply(x):
         xT = jnp.concatenate(

@@ -191,3 +191,20 @@ def test_make_table_apply_paths():
         np.testing.assert_allclose(y_pl, y_es, rtol=2e-6, atol=1e-5)
         scale = np.abs(want).max()
         assert np.abs(y_pl - want).max() < 0.05 * scale
+
+
+def test_make_table_apply_splitk(monkeypatch):
+    """NSTPU_SPLITK>1: K consecutive-tile sub-tables as separate kernel
+    operands (K DMAs in flight per grid step) — same results as K=1."""
+    from navier_stokes_tpu.ops.pallas_mv import make_table_apply
+
+    rng = np.random.default_rng(13)
+    A = rng.standard_normal((NE, NB, NB)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((NE, NB)).astype(np.float32))
+    want = np.einsum("emk,ek->em", A, np.asarray(x))
+    for k in (2, 4):
+        monkeypatch.setenv("NSTPU_SPLITK", str(k))
+        f = make_table_apply(A, tile=8, interpret=True, min_pallas_blocks=1)
+        np.testing.assert_allclose(np.asarray(f(x)), want, rtol=2e-6,
+                                   atol=1e-5)
+    monkeypatch.setenv("NSTPU_SPLITK", "1")
