@@ -218,22 +218,51 @@ class FaceBlockLayout:
             return self.elem_apply_multi(
                 [(jnp.asarray(A, jnp.float32), None) for A in mats_np]
             )
+        import os
+
         ne, nb = self.ne, self.nb
-        ntile = -(-ne // tile)
-        ne_p = ntile * tile
-        tabs = [jnp.asarray(pack_tiles(np.asarray(A, np.float32), tile))
-                for A in mats_np]
+        split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
+        packed = [pack_tiles(np.asarray(A, np.float32), tile)
+                  for A in mats_np]
+        if split_k > 1:
+            # K consecutive-tile sub-tables per matrix: K block DMAs in
+            # flight per grid step (see pallas_mv._mv_kernel_splitk)
+            from .pallas_mv import (
+                _call_mv2_splitk,
+                _call_mv_splitk,
+                _pack_splitk,
+            )
+
+            subs = []
+            for P in packed:
+                sub, ng = _pack_splitk(P, split_k)
+                subs.append([jnp.asarray(a) for a in sub])
+            ne_p = ng * split_k * tile
+
+            def kernel_call(ueT):
+                if len(subs) == 2:
+                    return _call_mv2_splitk(
+                        split_k, ueT, *(subs[0] + subs[1]),
+                        interpret=interpret,
+                    )
+                return _call_mv_splitk(split_k, ueT, *subs[0],
+                                       interpret=interpret)
+        else:
+            tabs = [jnp.asarray(P) for P in packed]
+            ne_p = packed[0].shape[0] * tile
+
+            def kernel_call(ueT):
+                if len(tabs) == 2:
+                    return tiled_bmv_multi(tabs[0], tabs[1], ueT,
+                                           interpret=interpret)
+                return tiled_bmv(tabs[0], ueT, interpret=interpret)
 
         def apply(u):
             uF, ui = self.split(u)
             ue = self.gather_elem(uF, ui)
             ueT = jnp.concatenate(
                 [ue, jnp.zeros((ne_p - ne, nb), ue.dtype)]).T
-            if len(tabs) == 2:
-                yeT = tiled_bmv_multi(tabs[0], tabs[1], ueT,
-                                      interpret=interpret)
-            else:
-                yeT = tiled_bmv(tabs[0], ueT, interpret=interpret)
+            yeT = kernel_call(ueT)
             ye = yeT.T[:ne]
             yF, yi = self.scatter_elem(ye)
             return self.join(yF, yi)

@@ -328,6 +328,45 @@ def _call_mv_splitk(k, x, *A_subs, interpret=False):
     return y.transpose(2, 0, 1, 3).reshape(m, ng * k * tile)
 
 
+def _mv2_kernel_splitk(k, x_ref, *refs):
+    # split (hi+lo) variant: operands [ahi_0..ahi_{k-1}, alo_0..alo_{k-1}]
+    ahi, alo, outs = refs[:k], refs[k:2 * k], refs[2 * k:]
+    for j in range(k):
+        x = x_ref[0, j]
+        outs[j][0] = _bmv(ahi[j][0], x) + _bmv(alo[j][0], x)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _call_mv2_splitk(k, x, *A_subs, interpret=False):
+    # A_subs = (hi_0..hi_{k-1}, lo_0..lo_{k-1})
+    ng, m, nb, tile = A_subs[0].shape
+    sh = jax.ShapeDtypeStruct((ng, m, tile), jnp.float32)
+    xg = x.reshape(nb, ng, k, tile).transpose(1, 2, 0, 3)
+    outs = pl.pallas_call(
+        functools.partial(_mv2_kernel_splitk, k),
+        out_shape=tuple(sh for _ in range(k)),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, k, nb, tile),
+                         lambda i: (i, _zero(i), _zero(i), _zero(i)),
+                         memory_space=pltpu.VMEM)
+        ] + [
+            pl.BlockSpec((1, m, nb, tile),
+                         lambda i: (i, _zero(i), _zero(i), _zero(i)),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2 * k)
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, m, tile), lambda i: (i, _zero(i), _zero(i)),
+                         memory_space=pltpu.VMEM)
+            for _ in range(k)
+        ),
+        interpret=interpret,
+    )(xg, *A_subs)
+    y = jnp.stack(outs, axis=1)
+    return y.transpose(2, 0, 1, 3).reshape(m, ng * k * tile)
+
+
 def make_table_apply(A_np: np.ndarray, tile: int = 256,
                      interpret: bool = False, store_dtype=None,
                      min_pallas_blocks: int = 256,

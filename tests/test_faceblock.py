@@ -164,3 +164,31 @@ def test_elem_apply_tiled_interpret(setup):
     got1 = lay.elem_apply_tiled([A_hi], tile=64, interpret=True)(u)
     want1 = lay.elem_apply(jnp.asarray(A_hi))(u)
     assert float(jnp.linalg.norm(got1 - want1) / jnp.linalg.norm(want1)) < 1e-6
+
+
+def test_elem_apply_tiled_splitk(monkeypatch):
+    """elem_apply_tiled under NSTPU_SPLITK>1 (interpret mode) matches the
+    einsum apply — both single-table and split hi/lo pair."""
+    mesh = channel_with_cylinder_mesh_3d(0.45)
+    V = HDiv3D(mesh, 2, dirichlet="inlet|wall|cyl")
+    F = VectorFacet3D(mesh, 1, dirichlet="inlet|wall|cyl|outlet")
+    Xv = HybridVelocitySpace3D(V, F)
+    lay = FaceBlockLayout(Xv)
+    rng = np.random.default_rng(21)
+    A64 = rng.standard_normal((lay.ne, lay.nb, lay.nb))
+    A_hi = A64.astype(np.float32)
+    A_lo = (A64 - A_hi.astype(np.float64)).astype(np.float32)
+    u = jnp.asarray(rng.standard_normal(lay.n), jnp.float32)
+    ref1 = lay.elem_apply_multi([(jnp.asarray(A_hi), None)])(u)
+    ref2 = lay.elem_apply_multi(
+        [(jnp.asarray(A_hi), None), (jnp.asarray(A_lo), None)]
+    )(u)
+    for k in ("2", "4"):
+        monkeypatch.setenv("NSTPU_SPLITK", k)
+        got1 = lay.elem_apply_tiled([A_hi], tile=64, interpret=True)(u)
+        got2 = lay.elem_apply_tiled([A_hi, A_lo], tile=64,
+                                    interpret=True)(u)
+        for got, ref in ((got1, ref1), (got2, ref2)):
+            rel = float(jnp.linalg.norm(got - ref)
+                        / jnp.linalg.norm(ref))
+            assert rel < 1e-5, (k, rel)
