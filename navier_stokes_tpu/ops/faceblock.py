@@ -287,11 +287,31 @@ class FaceBlockLayout:
                 out_dtype,
             )
             return self.elem_apply(A64)
+        import os
+
         ne, nb = self.ne, self.nb
-        ntile = -(-ne // tile)
-        ne_p = ntile * tile
-        Ah_t = jnp.asarray(pack_tiles(np.asarray(A_hi_np, np.float32), tile))
-        Al_t = jnp.asarray(pack_tiles(np.asarray(A_lo_np, np.float32), tile))
+        split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
+        Ah_p = pack_tiles(np.asarray(A_hi_np, np.float32), tile)
+        Al_p = pack_tiles(np.asarray(A_lo_np, np.float32), tile)
+        if split_k > 1:
+            from .pallas_mv import _call_mv_comp_splitk, _pack_splitk
+
+            hs, ng = _pack_splitk(Ah_p, split_k)
+            ls, _ = _pack_splitk(Al_p, split_k)
+            subs = tuple(jnp.asarray(a) for a in hs + ls)
+            ne_p = ng * split_k * tile
+
+            def comp_call(hi, lo):
+                return _call_mv_comp_splitk(split_k, hi, lo, *subs,
+                                            interpret=interpret)
+        else:
+            Ah_t = jnp.asarray(Ah_p)
+            Al_t = jnp.asarray(Al_p)
+            ne_p = Ah_p.shape[0] * tile
+
+            def comp_call(hi, lo):
+                return tiled_bmv_comp(Ah_t, Al_t, hi, lo,
+                                      interpret=interpret)
 
         def apply(u):
             uF, ui = self.split(u)
@@ -299,10 +319,8 @@ class FaceBlockLayout:
             ue_hi = ue.astype(jnp.float32)
             ue_lo = (ue - ue_hi.astype(out_dtype)).astype(jnp.float32)
             pad = ((0, ne_p - ne), (0, 0))
-            yh, yl = tiled_bmv_comp(
-                Ah_t, Al_t,
+            yh, yl = comp_call(
                 jnp.pad(ue_hi, pad).T, jnp.pad(ue_lo, pad).T,
-                interpret=interpret,
             )
             ye = (yh.T[:ne].astype(out_dtype)
                   + yl.T[:ne].astype(out_dtype))
@@ -331,18 +349,42 @@ class FaceBlockLayout:
                 out_dtype,
             )
             return self.rect_apply(B64, eldofs_p, ndof_p)
+        import os
+
         ne, nb = self.ne, self.nb
-        ntile = -(-ne // tile)
-        ne_p = ntile * tile
-        pad = ((0, ne_p - ne), (0, 0))
+        split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
         Bh = np.asarray(B_hi_np, np.float32)
         Bl = np.asarray(B_lo_np, np.float32)
-        Bh_t = jnp.asarray(pack_tiles(Bh, tile))
-        Bl_t = jnp.asarray(pack_tiles(Bl, tile))
-        BTh_t = jnp.asarray(pack_tiles(np.ascontiguousarray(
-            Bh.transpose(0, 2, 1)), tile))
-        BTl_t = jnp.asarray(pack_tiles(np.ascontiguousarray(
-            Bl.transpose(0, 2, 1)), tile))
+        packs = [
+            (pack_tiles(Bh, tile), pack_tiles(Bl, tile)),
+            (pack_tiles(np.ascontiguousarray(Bh.transpose(0, 2, 1)), tile),
+             pack_tiles(np.ascontiguousarray(Bl.transpose(0, 2, 1)), tile)),
+        ]
+        if split_k > 1:
+            from .pallas_mv import _call_mv_comp_splitk, _pack_splitk
+
+            calls = []
+            for Ph, Pl in packs:
+                hs, ng = _pack_splitk(Ph, split_k)
+                ls, _ = _pack_splitk(Pl, split_k)
+                subs = tuple(jnp.asarray(a) for a in hs + ls)
+                calls.append(
+                    lambda hi, lo, subs=subs: _call_mv_comp_splitk(
+                        split_k, hi, lo, *subs, interpret=interpret)
+                )
+            comp_B, comp_BT = calls
+            ne_p = ng * split_k * tile
+        else:
+            tabs = [tuple(jnp.asarray(P) for P in pair) for pair in packs]
+
+            def comp_B(hi, lo):
+                return tiled_bmv_comp(*tabs[0], hi, lo, interpret=interpret)
+
+            def comp_BT(hi, lo):
+                return tiled_bmv_comp(*tabs[1], hi, lo, interpret=interpret)
+
+            ne_p = packs[0][0].shape[0] * tile
+        pad = ((0, ne_p - ne), (0, 0))
 
         def _split_pad(xe):
             x_hi = xe.astype(jnp.float32)
@@ -353,16 +395,14 @@ class FaceBlockLayout:
             uF, ui = self.split(u)
             ue = self.gather_elem(uF, ui)
             xh, xl = _split_pad(ue)
-            yh, yl = tiled_bmv_comp(Bh_t, Bl_t, xh, xl,
-                                    interpret=interpret)
+            yh, yl = comp_B(xh, xl)
             pe = yh.T[:ne].astype(out_dtype) + yl.T[:ne].astype(out_dtype)
             return pe.reshape(-1)
 
         def BT_apply(p):
             pe = p.reshape(self.ne, m)
             xh, xl = _split_pad(pe)
-            yh, yl = tiled_bmv_comp(BTh_t, BTl_t, xh, xl,
-                                    interpret=interpret)
+            yh, yl = comp_BT(xh, xl)
             ye = yh.T[:ne].astype(out_dtype) + yl.T[:ne].astype(out_dtype)
             yF, yi = self.scatter_elem(ye)
             return self.join(yF, yi)

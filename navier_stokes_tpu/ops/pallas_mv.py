@@ -367,6 +367,69 @@ def _call_mv2_splitk(k, x, *A_subs, interpret=False):
     return y.transpose(2, 0, 1, 3).reshape(m, ng * k * tile)
 
 
+def _mv_comp_kernel_splitk(k, nb, xhi_ref, xlo_ref, *refs):
+    # compensated double-single variant, K sub-tables per matrix
+    ahi, alo = refs[:k], refs[k:2 * k]
+    ohi, olo = refs[2 * k:3 * k], refs[3 * k:]
+    for j in range(k):
+        m = ahi[j].shape[1]
+        tile = ahi[j].shape[3]
+        s = jnp.zeros((m, tile), jnp.float32)
+        sl = jnp.zeros((m, tile), jnp.float32)
+        for q in range(nb):
+            ah = ahi[j][0, :, q, :]
+            xh = xhi_ref[0, j, q, :][None, :]
+            p, err = _two_prod(ah, xh)
+            small = (ah * xlo_ref[0, j, q, :][None, :]
+                     + alo[j][0, :, q, :] * xh + err)
+            p_safe = jnp.abs(p) * jnp.sign(p)
+            t = s + p_safe
+            bb = t - s
+            e = (s - (t - bb)) + (p_safe - bb)
+            s = t
+            sl = sl + (e + small)
+        ohi[j][0] = s
+        olo[j][0] = sl
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _call_mv_comp_splitk(k, x_hi, x_lo, *A_subs, interpret=False):
+    ng, m, nb, tile = A_subs[0].shape
+    sh = jax.ShapeDtypeStruct((ng, m, tile), jnp.float32)
+
+    def grp(x):
+        return x.reshape(nb, ng, k, tile).transpose(1, 2, 0, 3)
+
+    outs = pl.pallas_call(
+        functools.partial(_mv_comp_kernel_splitk, k, nb),
+        out_shape=tuple(sh for _ in range(2 * k)),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, k, nb, tile),
+                         lambda i: (i, _zero(i), _zero(i), _zero(i)),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ] + [
+            pl.BlockSpec((1, m, nb, tile),
+                         lambda i: (i, _zero(i), _zero(i), _zero(i)),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2 * k)
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, m, tile), lambda i: (i, _zero(i), _zero(i)),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2 * k)
+        ),
+        interpret=interpret,
+    )(grp(x_hi), grp(x_lo), *A_subs)
+
+    def ung(parts):
+        y = jnp.stack(parts, axis=1)  # (ng, k, m, tile)
+        return y.transpose(2, 0, 1, 3).reshape(m, ng * k * tile)
+
+    return ung(outs[:k]), ung(outs[k:])
+
+
 def make_table_apply(A_np: np.ndarray, tile: int = 256,
                      interpret: bool = False, store_dtype=None,
                      min_pallas_blocks: int = 256,

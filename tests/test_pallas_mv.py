@@ -208,3 +208,38 @@ def test_make_table_apply_splitk(monkeypatch):
         np.testing.assert_allclose(np.asarray(f(x)), want, rtol=2e-6,
                                    atol=1e-5)
     monkeypatch.setenv("NSTPU_SPLITK", "1")
+
+
+def test_comp_splitk_matches_comp():
+    """Split-K compensated kernel == the single-stream compensated kernel
+    (same double-single accuracy under engineered cancellation)."""
+    from navier_stokes_tpu.ops.pallas_mv import (
+        _call_mv_comp_splitk,
+        _pack_splitk,
+    )
+
+    rng = np.random.default_rng(17)
+    A64 = rng.standard_normal((NE, NB, NB))
+    x64 = rng.standard_normal((NB, NE))
+    A64[:, :, 0] *= 1e5
+    A64[:, :, 1] = -A64[:, :, 0] * (x64[0] / x64[1])[:, None]
+    want = np.einsum("eij,je->ie", A64, x64)
+    scale = np.einsum("eij,je->ie", np.abs(A64), np.abs(x64))
+    A_hi = A64.astype(np.float32)
+    A_lo = (A64 - A_hi.astype(np.float64)).astype(np.float32)
+    x_hi = x64.astype(np.float32)
+    x_lo = (x64 - x_hi.astype(np.float64)).astype(np.float32)
+    k = 4
+    hs, ng = _pack_splitk(pack_tiles(A_hi, TILE), k)
+    ls, _ = _pack_splitk(pack_tiles(A_lo, TILE), k)
+    npad = ng * k * TILE
+    xh = np.zeros((NB, npad), np.float32); xh[:, :NE] = x_hi
+    xl = np.zeros((NB, npad), np.float32); xl[:, :NE] = x_lo
+    yh, yl = _call_mv_comp_splitk(
+        k, jnp.asarray(xh), jnp.asarray(xl),
+        *[jnp.asarray(a) for a in hs + ls], interpret=True,
+    )
+    got = (np.asarray(yh).astype(np.float64)
+           + np.asarray(yl).astype(np.float64))[:, :NE]
+    err = np.abs(got - want) / np.maximum(scale, 1e-300)
+    assert err.max() < 1e-12, f"splitK comp error {err.max():.2e}"
