@@ -443,17 +443,31 @@ def measure(device, mesh, cache=None, geometry=None):
         # dump the device measurement to the CPU fallback — retry once on
         # the SAME device with the Pallas paths disabled (NSTPU_PALLAS=0;
         # ops/pallas_mv.make_table_apply and refinement.equilibrated_f32_ops
-        # both honor it at build time)
-        for _try in range(2):
+        # both honor it at build time).  Transient tunnel faults (HTTP 500
+        # from the remote compile service, brief UNAVAILABLE) get one plain
+        # same-config retry first.
+        pallas_disabled = False
+        transient_retried = False
+        for _try in range(3):
             try:
                 return attempt()
             except Exception as e:
                 msg = repr(e).lower()
-                if (_try == 0 and device.platform != "cpu"
+                if device.platform == "cpu":
+                    raise
+                if (not pallas_disabled
                         and ("mosaic" in msg or "pallas" in msg)):
                     log("Pallas path failed on device; retrying with "
                         "NSTPU_PALLAS=0:", repr(e)[:300])
                     os.environ["NSTPU_PALLAS"] = "0"
+                    pallas_disabled = True
+                    continue
+                if (not transient_retried
+                        and ("http 500" in msg or "unavailable" in msg)):
+                    log("transient tunnel fault; retrying same config:",
+                        repr(e)[:200])
+                    transient_retried = True
+                    time.sleep(20)
                     continue
                 raise
 
