@@ -324,12 +324,12 @@ def measure(device, mesh, cache=None, geometry=None):
             z32 = jnp.zeros_like(f_mod, jnp.float32)
             zp32 = jnp.zeros_like(g_mod, jnp.float32)
             minres_chunk = hoisted_jit(
-                lambda r0s, r1s, x0, x1: minres(
+                lambda r0s, r1s, x0, x1, tl: minres(
                     K32, (r0s, r1s), pre=pre32, sol=(x0, x1),
-                    initialize=False, tol=5e-7, maxsteps=CHUNK32,
+                    initialize=False, tol=tl, maxsteps=CHUNK32,
                     abs_test=False,
                 ),
-                z32, zp32, z32, zp32,
+                z32, zp32, z32, zp32, jnp.float32(5e-7),
             )
             residual64 = hoisted_jit(
                 lambda u0, u1: (
@@ -362,12 +362,12 @@ def measure(device, mesh, cache=None, geometry=None):
             z64 = jnp.zeros_like(f_mod)
             zp64 = jnp.zeros_like(g_mod)
             minres_p2_chunk = hoisted_jit(
-                lambda r0, r1, x0, x1: minres(
+                lambda r0, r1, x0, x1, tl: minres(
                     K_ds, (r0, r1), pre=pre_ds, sol=(x0, x1),
-                    initialize=False, tol=1e-4, maxsteps=CHUNK64,
+                    initialize=False, tol=tl, maxsteps=CHUNK64,
                     abs_test=False,
                 ),
-                z64, zp64, z64, zp64,
+                z64, zp64, z64, zp64, jnp.float64(1e-4),
             )
 
             def true_rel(r0, r1):
@@ -389,11 +389,20 @@ def measure(device, mesh, cache=None, geometry=None):
                         rel = min(rel, new_rel)
                         break
                     rel = new_rel
+                    # adaptive pass tolerance: the inner f32 preconditioned-
+                    # norm recurrence runs ~100x ahead of the true f64
+                    # contraction (maxh=0.3: inner tol 5e-7 delivered ~1e-4
+                    # true per pass), so when the REMAINING contraction
+                    # (TOL/rel) is small, loosen the pass target instead of
+                    # driving a full 5e-7 pass ~1e4x past it (326 of 977
+                    # inner its wasted on the final pass, measured).
+                    tol_pass = jnp.float32(
+                        min(1e-3, max(5e-7, (TOL / rel) / 256.0)))
                     r0s = (D * r0).astype(jnp.float32)
                     r1s = r1.astype(jnp.float32)
                     dx0, dx1 = z32, zp32
                     for _c in range(3):
-                        res = minres_chunk(r0s, r1s, dx0, dx1)
+                        res = minres_chunk(r0s, r1s, dx0, dx1, tol_pass)
                         dx0, dx1 = res.x
                         total_inner += int(res.iterations)
                         if bool(res.converged):
@@ -405,11 +414,16 @@ def measure(device, mesh, cache=None, geometry=None):
                 _outer = 0
                 while _outer < 6 and rel > TOL:
                     r0, r1 = residual64(x0, x1)
+                    # same adaptation for the double-single endgame (its f64
+                    # recurrence tracks the true residual much closer; a
+                    # 16x safety margin instead of 256x)
+                    tol_p2 = jnp.float64(
+                        min(1e-3, max(1e-4, (TOL / rel) / 16.0)))
                     dx0, dx1 = z64, zp64
                     rounds = 0
                     res = None
                     while rounds < 6:
-                        res = minres_p2_chunk(D * r0, r1, dx0, dx1)
+                        res = minres_p2_chunk(D * r0, r1, dx0, dx1, tol_p2)
                         dx0, dx1 = res.x
                         total_inner += int(res.iterations)
                         rounds += 1
@@ -504,12 +518,13 @@ def main():
     ips = inner / t_main
 
     steps_per_sec = None
-    try:
-        n_steps, t_steps = measure_transient(main_dev, mesh, cache,
-                                             geometry=geo)
-        steps_per_sec = n_steps / t_steps
-    except Exception as e:
-        log("transient measurement failed:", repr(e))
+    if not os.environ.get("BENCH_NO_TRANSIENT"):
+        try:
+            n_steps, t_steps = measure_transient(main_dev, mesh, cache,
+                                                 geometry=geo)
+            steps_per_sec = n_steps / t_steps
+        except Exception as e:
+            log("transient measurement failed:", repr(e))
 
     vs_baseline = 1.0
     steps_vs_baseline = 1.0
@@ -530,8 +545,11 @@ def main():
             log("cpu baseline failed:", repr(e))
         if steps_per_sec is not None:
             try:
+                # one measured step: a CPU step at bench scale is minutes —
+                # the jitted program is deterministic, per-step variance is
+                # small relative to that
                 cpu = jax.devices("cpu")[0]
-                n_c, t_c = measure_transient(cpu, mesh, cache,
+                n_c, t_c = measure_transient(cpu, mesh, cache, n_steps=1,
                                              geometry=geo)
                 steps_vs_baseline = steps_per_sec / (n_c / t_c)
             except Exception as e:
