@@ -564,7 +564,7 @@ def main():
             f"wall={t_main:.3f}s to f64 rel residual {TOL} on "
             f"{main_dev.platform}"
             + (
-                f"; transient SIMPLE loop {steps_per_sec:.2f} steps/s "
+                f"; transient SIMPLE loop {steps_per_sec:.4g} steps/s "
                 f"(f32, proj tol 1e-5, x{steps_vs_baseline:.1f} vs cpu)"
                 if steps_per_sec is not None else ""
             )
@@ -572,7 +572,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
     }
     if steps_per_sec is not None:
-        out["steps_per_sec"] = round(steps_per_sec, 2)
+        out["steps_per_sec"] = float(f"{steps_per_sec:.4g}")
         out["steps_vs_baseline"] = round(steps_vs_baseline, 3)
     print(json.dumps(out))
 
