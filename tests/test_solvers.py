@@ -82,6 +82,28 @@ def test_minres_indefinite():
     assert np.abs(np.asarray(r.x) - xs).max() < 1e-7
 
 
+def test_minres_traced_tolerance():
+    """tol may be a traced jit argument (the bench's adaptive last-pass
+    tolerance passes it through hoisted_jit): looser traced tol stops
+    earlier, same-value traced tol matches the python-float run."""
+    rng = np.random.default_rng(5)
+    n = 60
+    D = np.diag(np.concatenate([np.linspace(1, 10, 40), -np.linspace(1, 5, 20)]))
+    U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    S = U @ D @ U.T
+    b = rng.standard_normal(n)
+    mat = lambda x: jnp.asarray(S) @ x
+
+    run = jax.jit(lambda tl: minres(mat, jnp.asarray(b), tol=tl, maxsteps=500))
+    r_ref = minres(mat, jnp.asarray(b), tol=1e-10, maxsteps=500)
+    r_same = run(jnp.asarray(1e-10))
+    assert int(r_same.iterations) == int(r_ref.iterations)
+    np.testing.assert_array_equal(np.asarray(r_same.x), np.asarray(r_ref.x))
+    r_loose = run(jnp.asarray(1e-3))
+    assert bool(r_loose.converged)
+    assert int(r_loose.iterations) < int(r_ref.iterations)
+
+
 def _saddle_ops(A, B):
     Afn = lambda x: jnp.asarray(A) @ x
     Bfn = lambda x: jnp.asarray(B) @ x
