@@ -381,10 +381,13 @@ def measure(device, mesh, cache=None, geometry=None):
                 total_inner = 0
                 rel = 1.0
                 # phase 1: f32 MINRES refinement passes, chunked
+                t_solve0 = time.perf_counter()
                 for _pass in range(8):
                     r0, r1 = residual64(x0, x1)
                     new_rel = true_rel(r0, r1)
-                    log(f"  p1 pass {_pass}: rel={new_rel:.3e}")
+                    log(f"  p1 pass {_pass}: rel={new_rel:.3e} "
+                        f"inner={total_inner} "
+                        f"t={time.perf_counter() - t_solve0:.2f}s")
                     if new_rel <= TOL or (_pass > 0 and new_rel > 0.7 * rel):
                         rel = min(rel, new_rel)
                         break
@@ -433,7 +436,9 @@ def measure(device, mesh, cache=None, geometry=None):
                     x1n = x1 + dx1
                     r0n, r1n = residual64(x0n, x1n)
                     new_rel = true_rel(r0n, r1n)
-                    log(f"  p2 outer {_outer}: rel={new_rel:.3e} (+{rounds} chunks)")
+                    log(f"  p2 outer {_outer}: rel={new_rel:.3e} "
+                        f"(+{rounds} chunks) inner={total_inner} "
+                        f"t={time.perf_counter() - t_solve0:.2f}s")
                     if new_rel >= 0.9 * rel:
                         # stalled at the double-single noise floor — accept the
                         # best iterate (the monotonicity guard keeps x)
