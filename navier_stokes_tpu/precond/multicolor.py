@@ -138,8 +138,13 @@ def damped_coarse(coarse, A_apply, example, target: float = 0.9,
     Lanczos rescaling absorbs any factor — but the multiplicative V-cycle
     composition goes indefinite, observed as +-1e3 eigenvalues of preA^-1 A
     on the 3D skeleton system).  Estimates lambda_max(C A) by power
-    iteration at setup and scales C to ``target``."""
+    iteration at setup and scales C to ``target`` (NSTPU_COARSE_TARGET
+    overrides; must stay < 2 for SPD)."""
+    import os
+
     import numpy as np
+
+    target = float(os.environ.get("NSTPU_COARSE_TARGET", target))
 
     v = example / jnp.linalg.norm(example)
     lam = 1.0
