@@ -78,6 +78,10 @@ import numpy as np
 # drops ~25% of the preconditioner's HBM stream.  Full-table bf16
 # ("NSTPU_SMOOTHER_BF16=1") measured ~2x the iterations — do not default.
 os.environ.setdefault("NSTPU_SMOOTHER_BF16", "ext")
+# stronger multiplicative coarse correction (SPD limit is 2.0; the power
+# iteration leaves ~25% margin): 484->458 inner its at maxh=0.09,
+# 840->815 at 0.3, 763->736 at 0.45 — measured, monotone across scales.
+os.environ.setdefault("NSTPU_COARSE_TARGET", "1.6")
 
 MAXH = float(os.environ.get("BENCH_MAXH", "0.09"))
 # 0.09 -> 243k velocity dofs + 31k pressure (compute-bound regime)
