@@ -196,6 +196,8 @@ def build_skeleton_preconditioner_3d(
     dof_scale: np.ndarray | None = None,
     store_dtype=None,
     ext_store_dtype=None,
+    panel_store_dtype=None,
+    inv_store_dtype=None,
     fast: bool = True,
 ):
     """Condensation-aware preconditioner for the 3D condensed MCS/HDG
@@ -281,6 +283,8 @@ def build_skeleton_preconditioner_3d(
         return _build_skeleton_fast(
             V, free, fmask, AinvAis, A_ii_inv, S_loc, coarse, gs, sdt,
             cdt=dtype, ext_sdt=ext_store_dtype or sdt,
+            panel_sdt=panel_store_dtype or sdt,
+            inv_sdt=inv_store_dtype or sdt,
         )
 
     blks = [
@@ -353,7 +357,8 @@ def build_skeleton_preconditioner_3d(
 
 
 def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
-                         coarse, gs, sdt, cdt=jnp.float32, ext_sdt=None):
+                         coarse, gs, sdt, cdt=jnp.float32, ext_sdt=None,
+                         panel_sdt=None, inv_sdt=None):
     """Face-block (scatter-free) rendering of the skeleton preconditioner:
     same math as the slow path — exact interior solve + edge-star smoother
     (additive or symmetric multi-color GS) + aux-space coarse on the
@@ -375,6 +380,8 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
 
     lay = FaceBlockLayout(V)
     ext_sdt = ext_sdt or sdt
+    panel_sdt = panel_sdt or sdt
+    inv_sdt = inv_sdt or sdt
     S_perm_np = lay.permute_skel_blocks(S_loc)
     AinvAis_perm_np = np.ascontiguousarray(AinvAis[:, :, lay.perm_skel])
     sm = face_star_smoother(lay, S_perm_np, np.asarray(fmask), sdt,
@@ -427,7 +434,7 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
         # sweep direction, color-count independent) instead of a full
         # skeleton apply per color (2 x ncolors streams — the dominant
         # cost of the recompute sweep; see color_row_groups)
-        groups = sm.color_row_groups(colors, S_perm_np, sdt)
+        groups = sm.color_row_groups(colors, S_perm_np, panel_sdt, inv_sdt)
 
         def coarse_faces(rF):
             r = lay.join(rF, jnp.zeros((ne, n_int), rF.dtype))

@@ -221,6 +221,7 @@ class FaceBlockLayout:
         import os
 
         ne, nb = self.ne, self.nb
+        tile = int(os.environ.get("NSTPU_TILE", tile))
         split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
         packed = [pack_tiles(np.asarray(A, np.float32), tile)
                   for A in mats_np]
@@ -290,6 +291,7 @@ class FaceBlockLayout:
         import os
 
         ne, nb = self.ne, self.nb
+        tile = int(os.environ.get("NSTPU_TILE", tile))
         split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
         Ah_p = pack_tiles(np.asarray(A_hi_np, np.float32), tile)
         Al_p = pack_tiles(np.asarray(A_lo_np, np.float32), tile)
@@ -352,6 +354,7 @@ class FaceBlockLayout:
         import os
 
         ne, nb = self.ne, self.nb
+        tile = int(os.environ.get("NSTPU_TILE", tile))
         split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
         Bh = np.asarray(B_hi_np, np.float32)
         Bl = np.asarray(B_lo_np, np.float32)
@@ -695,7 +698,7 @@ class FaceStarSmoother:
     # -- row-panel GS: fresh per-color residual without full S applies ---
 
     def color_row_groups(self, colors: np.ndarray, S_perm_np: np.ndarray,
-                         sdt=jnp.float32):
+                         sdt=jnp.float32, inv_sdt=None):
         """Per-color solve groups that compute the color's residual from
         ROW PANELS of S instead of a full skeleton apply.
 
@@ -717,6 +720,12 @@ class FaceStarSmoother:
 
         ``colors``: (nblocks,) in bucket order.  ``S_perm_np``: (ne,
         n_skel, n_skel) face-major skeleton element blocks (numpy).
+        ``sdt`` is the STORAGE dtype of the residual row panels (the
+        dominant stream: 3 full-S equivalents per sweep direction);
+        ``inv_sdt`` (defaults to ``sdt``) that of the edge-star inverse
+        tables — separable because their iteration-count sensitivity
+        differs (bf16 panels are a symmetric perturbation of the sweep's
+        residual operator; bf16 inverses perturb the solves themselves).
         Returns groups for :meth:`solve_color_rows`.
         """
         lay = self.layout
@@ -733,6 +742,7 @@ class FaceStarSmoother:
         )
         from .pallas_mv import make_table_apply
 
+        inv_sdt = inv_sdt or sdt
         ncolors = int(np.max(colors)) + 1
         base = 0
         bucket_meta = []
@@ -758,7 +768,7 @@ class FaceStarSmoother:
                 faces_list.append(flat)
                 parts.append((ofs, len(keep), fsz,
                               make_table_apply(
-                                  inv_np[keep], store_dtype=sdt,
+                                  inv_np[keep], store_dtype=inv_sdt,
                                   compute_dtype=self.compute_dtype)))
                 ofs += len(flat)
             faces_c = np.concatenate(faces_list)

@@ -447,6 +447,7 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
     in-register, the einsum path promotes)."""
     import os
 
+    tile = int(os.environ.get("NSTPU_TILE", tile))
     nblk, m, k = A_np.shape
     sdt = jnp.dtype(store_dtype or jnp.float32)
     # the kernel is f32-native (f32 accumulate, bf16 or f32 table stream);

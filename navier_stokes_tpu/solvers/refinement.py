@@ -262,17 +262,29 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
                 )
 
     # NSTPU_SMOOTHER_BF16 stores smoother tables in bfloat16 (f32
-    # arithmetic):  "ext" = harmonic-extension + interior tables only
-    # (applied once per preA; measured iteration-count-neutral), "1" =
-    # ALL tables including the GS sweep (measured ~2x the Krylov
-    # iterations on the 3D channel — the sweep composes many applies and
-    # compounds the 0.4% rounding; net loss, kept for experiments).
+    # arithmetic) — comma-separated tokens select table GROUPS:
+    #   "ext"    harmonic-extension + interior tables (applied once per
+    #            preA; measured iteration-count-neutral — bench default)
+    #   "panels" GS residual row panels (the dominant sweep stream,
+    #            3 full-S equivalents per direction)
+    #   "inv"    edge-star inverse tables inside the GS color solves
+    #   "sweep"  the full skeleton S apply (coarse residual + damping)
+    #   "1"      everything (legacy; measured ~2x the Krylov iterations
+    #            on the 3D channel BEFORE the groups were separable)
     bf = _os.environ.get("NSTPU_SMOOTHER_BF16", "")
-    store = jnp.bfloat16 if bf not in ("", "0", "ext") else None
-    ext_store = jnp.bfloat16 if bf == "ext" else None
+    toks = {t for t in bf.replace(" ", "").split(",") if t} - {"0"}
+    if "1" in toks or bf == "1":
+        toks |= {"ext", "panels", "inv", "sweep"}
+    b16 = jnp.bfloat16
+
+    def _pick(tok):
+        return b16 if tok in toks else f32
+
     preA32 = build_skeleton_preconditioner_3d(
         m.Xv, A_s, m._dirich, f32, coarse_coefficient=m.nu, gs=gs,
-        dof_scale=D, store_dtype=store, ext_store_dtype=ext_store,
+        dof_scale=D, store_dtype=_pick("sweep"),
+        ext_store_dtype=_pick("ext"), panel_store_dtype=_pick("panels"),
+        inv_store_dtype=_pick("inv"),
     )
     diag_Mp32 = jnp.asarray(m._diag_Mp, f32)
     nu32 = jnp.asarray(m.nu, f32)
