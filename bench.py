@@ -210,6 +210,7 @@ def probe_ops(device, mesh, cache=None, geometry=None):
     Tells us where a Krylov iteration's milliseconds go (phase-1 f32 K,
     preA, preM; phase-2 f64 K, congruence preA)."""
     from navier_stokes_tpu.solvers import equilibrated_f32_ops
+    from navier_stokes_tpu.utils.jaxtools import hoisted_jit
 
     jax.config.update(
         "jax_default_matmul_precision",
@@ -253,26 +254,44 @@ def probe_ops(device, mesh, cache=None, geometry=None):
                     probes.append((f"preA32.{key}", fn, xF32))
         for name, fn, x in probes:
             try:
-                K = 30
+                # MARGINAL per-apply cost: each tunnel execution carries a
+                # ~25 ms fixed overhead (dispatch + sync), so a single
+                # chain's t/K overstates the apply by several x (the
+                # chunked production solve amortizes it over ~2000
+                # iterations).  Two chain lengths isolate the slope.
+                K1, K2 = 10, 60
 
-                @jax.jit
-                def chain(v, fn=fn):
-                    def body(i, w):
-                        y = fn(w)
-                        return y / jnp.maximum(
-                            jnp.linalg.norm(y.ravel()[:512]), 1e-30)
+                def make_chain(K, fn=fn):
+                    # hoisted_jit: the preconditioner closures capture ~GB
+                    # operator tables; plain jit embeds them as constants
+                    # in the remote-compile payload (HTTP 413)
+                    def chain_py(v):
+                        def body(i, w):
+                            y = fn(w)
+                            return y / jnp.maximum(
+                                jnp.linalg.norm(y.ravel()[:512]), 1e-30)
 
-                    return jax.lax.fori_loop(0, K, body, v)
+                        return jax.lax.fori_loop(0, K, body, v)
 
-                y = chain(x)
-                jax.block_until_ready(y)
-                ts = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
+                    return hoisted_jit(chain_py, x)
+
+                c1, c2 = make_chain(K1), make_chain(K2)
+
+                def best(chain):
                     y = chain(x)
                     jax.block_until_ready(y)
-                    ts.append((time.perf_counter() - t0) / K)
-                log(f"  {name:22s} {sorted(ts)[1]*1e3:8.3f} ms")
+                    ts = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        y = chain(x)
+                        jax.block_until_ready(y)
+                        ts.append(time.perf_counter() - t0)
+                    return sorted(ts)[1]
+
+                t1, t2 = best(c1), best(c2)
+                marg = (t2 - t1) / (K2 - K1)
+                log(f"  {name:22s} {marg*1e3:8.3f} ms  "
+                    f"(chain{K2} {t2*1e3/K2:7.3f} ms/it)")
             except Exception as e:
                 log(f"  {name:22s} FAILED {repr(e)[:120]}")
 

@@ -64,13 +64,7 @@ def hybrid_h1_embedding_3d(V, dtype=jnp.float64):
     Ginv = np.linalg.inv(G)
     nhat = nsc / np.linalg.norm(nsc, axis=1, keepdims=True)
 
-    faces_j = jnp.asarray(faces, jnp.int32)
-    nsc_j = jnp.asarray(nsc, dtype)
-    E_j = jnp.asarray(np.stack([E1, E2], axis=1), dtype)  # (nface, 2, 3)
-    Ginv_j = jnp.asarray(Ginv, dtype)
-    nhat_j = jnp.asarray(nhat, dtype)
-    cjv_v = jnp.asarray(cjv[:nfd_v], dtype)  # hdiv face moments
-    cjv_f = jnp.asarray(cjv_fac[:nss], dtype)  # facet scalar moments
+    del nhat  # (unit normals not needed: moments use the scaled normal)
 
     # ---- interior completion tables ----------------------------------
     n_int = hd.bases[0].n_cell
@@ -112,62 +106,167 @@ def hybrid_h1_embedding_3d(V, dtype=jnp.float64):
         "eij,ejv->eiv", G_ie, S, optimize=True
     )
     M_int = np.linalg.solve(G_ii, rhs_int)  # (ne, n_int, 12)
-    M_int_j = jnp.asarray(M_int, dtype)
-    elverts = jnp.asarray(els, jnp.int32)
     off_c = mesh.nface * nfd_v
-    int_dofs = jnp.asarray(
-        off_c + np.arange(mesh.ne)[:, None] * n_int + np.arange(n_int)[None, :],
-        jnp.int32,
-    )
     nface = mesh.nface
+    ne = mesh.ne
+    nhd = hd.ndof
+
+    # ---- padded-ELL sparse transfer (host-assembled) -------------------
+    # T is a FIXED sparse operator (<= 12 nnz per fine row: one face's 3
+    # vertices x 3 components, or one element's 4 x 3), so both transfer
+    # directions are single gather->einsum ELL streams.  The previous
+    # closure formulation scattered with .at[].add/.set, which XLA
+    # serializes on TPU: the coarse correction owned 7.2 of the additive
+    # preconditioner's 8.1 ms at 243k dofs (round-3 probe) with the actual
+    # coarse SOLVE nearly free.
+    import scipy.sparse as sp
+
+    from ..precond.amg import _ell
+
+    # part 1: hdiv face-moment rows  T[f*nfd_v+j, c*nv+faces[f,v]]
+    #         = cjv[j,v] * nsc[f,c]
+    r1 = (np.arange(nface)[:, None, None, None] * nfd_v
+          + np.arange(nfd_v)[None, :, None, None])            # (f,j,1,1)
+    c1 = (np.arange(3)[None, None, None, :] * nv
+          + faces[:, None, :, None])                          # (f,1,v,c)
+    v1 = (cjv[:nfd_v][None, :, :, None]
+          * nsc[:, None, None, :])                            # (f,j,v,c)
+    r1b, c1b, v1b = np.broadcast_arrays(r1, c1, v1)
+
+    # part 2: facet frame rows  T[nhd+f*nfd_f+(j*2+d), c*nv+faces[f,v]]
+    #         = cjv_fac[j,v] * (Ginv[f] @ E[f])[d,c]
+    E = np.stack([E1, E2], axis=1)                            # (f,2,3)
+    W = np.einsum("fde,fec->fdc", Ginv, E)                    # (f,2,3)
+    r2 = (nhd + np.arange(nface)[:, None, None, None, None] * nfd_f
+          + (np.arange(nss)[None, :, None, None, None] * 2
+             + np.arange(2)[None, None, :, None, None]))      # (f,j,d,1,1)
+    c2 = (np.arange(3)[None, None, None, None, :] * nv
+          + faces[:, None, None, :, None])                    # (f,1,1,v,c)
+    v2 = (cjv_fac[:nss][None, :, None, :, None]
+          * W[:, None, :, None, :])                           # (f,j,d,v,c)
+    r2b, c2b, v2b = np.broadcast_arrays(r2, c2, v2)
+
+    # part 3: interior completion rows  T[off_c+e*n_int+i, c*nv+els[e,v]]
+    #         = M_int[e,i,c*4+v]
+    r3 = (off_c + np.arange(ne)[:, None, None, None] * n_int
+          + np.arange(n_int)[None, :, None, None])            # (e,i,1,1)
+    c3 = (np.arange(3)[None, None, :, None] * nv
+          + els[:, None, None, :])                            # (e,1,c,v)
+    v3 = M_int.reshape(ne, n_int, 3, 4)                       # (e,i,c,v)
+    r3b, c3b, v3b = np.broadcast_arrays(r3, c3, v3)
+
+    Tm = sp.coo_matrix(
+        (
+            np.concatenate([v1b.ravel(), v2b.ravel(), v3b.ravel()]),
+            (
+                np.concatenate([r1b.ravel(), r2b.ravel(), r3b.ravel()]),
+                np.concatenate([c1b.ravel(), c2b.ravel(), c3b.ravel()]),
+            ),
+        ),
+        shape=(nV, 3 * nv),
+    ).tocsr()
+    Tm.eliminate_zeros()
+    Ti, Tv = _ell(Tm, dtype)
+    Tt = Tm.T.tocsr()
+    Tt.eliminate_zeros()
+    Ri, Rv = _ell(Tt, dtype)
 
     def T(c):
-        c2 = c.reshape(3, nv)
-        wf = c2[:, faces_j]  # (3, nface, 3verts)
-        out = jnp.zeros(nV, c.dtype)
-        # hdiv face moments
-        wn = jnp.einsum("cfv,fc->fv", wf, nsc_j)  # (nface, 3)
-        mom = jnp.einsum("jv,fv->fj", cjv_v, wn)
-        idx = (jnp.arange(nface)[:, None] * nfd_v + jnp.arange(nfd_v)[None, :])
-        out = out.at[idx.reshape(-1)].set(mom.reshape(-1))
-        # facet tangential frame coefficients
-        wE = jnp.einsum("cfv,fdc->fdv", wf, E_j)  # (nface, 2, 3v)
-        mE = jnp.einsum("jv,fdv->fjd", cjv_f, wE)  # (nface, nss, 2)
-        coef = jnp.einsum("fde,fje->fjd", Ginv_j, mE)  # (nface, nss, 2)
-        base = hd.ndof + jnp.arange(nface)[:, None, None] * nfd_f
-        idx_f = base + (jnp.arange(nss)[None, :, None] * 2
-                        + jnp.arange(2)[None, None, :])
-        out = out.at[idx_f.reshape(-1)].set(coef.reshape(-1))
-        # interior completion
-        wv = c2[:, elverts]  # (3, ne, 4)
-        wv12 = jnp.concatenate([wv[0], wv[1], wv[2]], axis=1)  # (ne, 12)
-        ci = jnp.einsum("eiv,ev->ei", M_int_j, wv12)
-        out = out.at[int_dofs].set(ci)
-        return out
+        return jnp.einsum("nw,nw->n", Tv, c[Ti])
 
     def TT(x):
-        out = jnp.zeros((3, nv), x.dtype)
-        idx = (jnp.arange(nface)[:, None] * nfd_v + jnp.arange(nfd_v)[None, :])
-        mom = x[idx]  # (nface, nfd_v)
-        wn_adj = jnp.einsum("jv,fj->fv", cjv_v, mom)  # (nface, 3v)
-        contrib = jnp.einsum("fv,fc->cfv", wn_adj, nsc_j)
-        out = out.at[:, faces_j].add(contrib)
-        base = hd.ndof + jnp.arange(nface)[:, None, None] * nfd_f
-        idx_f = base + (jnp.arange(nss)[None, :, None] * 2
-                        + jnp.arange(2)[None, None, :])
-        coef = x[idx_f]  # (nface, nss, 2)
-        mE_adj = jnp.einsum("fde,fjd->fje", Ginv_j, coef)  # Ginv symmetric
-        wE_adj = jnp.einsum("jv,fje->fev", cjv_f, mE_adj)  # (nface, 2, 3v)
-        contrib2 = jnp.einsum("fev,fec->cfv", wE_adj, E_j)
-        out = out.at[:, faces_j].add(contrib2)
-        xi = x[int_dofs]
-        gv = jnp.einsum("eiv,ei->ev", M_int_j, xi)  # (ne, 12)
-        out = out.at[0, elverts].add(gv[:, :4])
-        out = out.at[1, elverts].add(gv[:, 4:8])
-        out = out.at[2, elverts].add(gv[:, 8:])
-        return out.reshape(-1)
+        return jnp.einsum("nw,nw->n", Rv, x[Ri])
 
     return T, TT
+
+
+def hybrid_h1_face_transfer(V, lay, dtype=jnp.float64):
+    """Face-layout P1 transfer for the SKELETON coarse correction:
+    ``TF (nv, 3) -> (nface, nfb)`` and its exact transpose ``TFt``.
+
+    The skeleton preconditioner only ever uses the FACE rows of the
+    embedding (interiors enter as zeros and leave discarded — the harmonic
+    extension owns them), and those rows are per-face dense maps from the
+    face's 3 vertices x 3 components: yF[f] = M_F[f] @ c[faces[f]].  So
+    the transfer is ONE tiled table stream (ops/pallas_mv.make_table_apply,
+    ~0.7 MB of tables) plus a 48k-index vertex gather — no dof-granular
+    index ops.  (A padded-ELL dof-level rendering measured 47 ms per
+    coarse apply at 243k dofs — millions of scalar gathers; the closure
+    form with .at[].add scatters measured 7.2 ms; this one is ~1 ms.)
+    """
+    from ..ops.pallas_mv import make_table_apply
+
+    mesh = V.mesh
+    hd = V.hdiv
+    k = hd.order
+    nfd_v = hd.n_face_dofs
+    nss = V.facet.n_scalar
+    nface = mesh.nface
+    nfb = lay.nfb
+
+    rule2 = triangle_rule(2 * max(k, V.facet.order) + 2)
+    phi_v, _ = triangle_modal(rule2.points, k)
+    phi_f, _ = triangle_modal(rule2.points, V.facet.order)
+    lam2 = np.concatenate(
+        [1 - rule2.points.sum(1, keepdims=True), rule2.points], axis=1
+    )
+    cjv = np.einsum("q,qj,qv->jv", rule2.weights, phi_v, lam2)
+    cjv_fac = np.einsum("q,qj,qv->jv", rule2.weights, phi_f, lam2)
+
+    pts = mesh.points
+    faces = np.asarray(mesh.faces)
+    fv = pts[faces]
+    E1 = fv[:, 1] - fv[:, 0]
+    E2 = fv[:, 2] - fv[:, 0]
+    nsc = np.cross(E1, E2)
+    E = np.stack([E1, E2], axis=1)  # (nface, 2, 3)
+    G = np.einsum("fdc,fec->fde", E, E)
+    W = np.einsum("fde,fec->fdc", np.linalg.inv(G), E)  # (nface, 2, 3)
+
+    # M_F[f, row, v*3+c]: hdiv moment rows then facet frame rows (matching
+    # FaceBlockLayout's face-block column order [nfd_v hdiv | nfd_f facet])
+    M_F = np.zeros((nface, nfb, 9))
+    M_F[:, :nfd_v] = np.einsum(
+        "jv,fc->fjvc", cjv[:nfd_v], nsc
+    ).reshape(nface, nfd_v, 9)
+    M_F[:, nfd_v: nfd_v + 2 * nss] = np.einsum(
+        "jv,fdc->fjdvc", cjv_fac[:nss], W
+    ).reshape(nface, 2 * nss, 9)
+
+    MF_apply = make_table_apply(M_F, store_dtype=dtype, compute_dtype=dtype)
+    MFt_apply = make_table_apply(
+        np.ascontiguousarray(M_F.transpose(0, 2, 1)),
+        store_dtype=dtype, compute_dtype=dtype,
+    )
+
+    # vertex accumulation plan for the transpose: (face, slot) pairs per
+    # vertex, padded to the max valence (pad index -> appended zero row)
+    nv = mesh.nv
+    flat_v = faces.ravel()
+    order = np.argsort(flat_v, kind="stable")
+    counts = np.bincount(flat_v, minlength=nv)
+    maxval = int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    vs_idx = np.full((nv, maxval), 3 * nface, np.int64)
+    for s in range(maxval):
+        has = counts > s
+        vs_idx[has, s] = order[starts[:-1][has] + s]
+    faces_j = jnp.asarray(faces, jnp.int32)
+    vs_idx_j = jnp.asarray(vs_idx, jnp.int32)
+
+    def TF(z):
+        """(nv, 3) coarse vertex values -> (nface, nfb) face-block rows."""
+        cloc = z[faces_j].reshape(nface, 9)
+        return MF_apply(cloc.astype(dtype))
+
+    def TFt(rF):
+        g = MFt_apply(rF.astype(dtype))  # (nface, 9)
+        g3 = jnp.concatenate(
+            [g.reshape(3 * nface, 3), jnp.zeros((1, 3), g.dtype)]
+        )
+        return g3[vs_idx_j].sum(axis=1)  # (nv, 3)
+
+    return TF, TFt
 
 
 def _edge_star_skeleton_blocks(V) -> list[np.ndarray]:
@@ -244,27 +343,9 @@ def build_skeleton_preconditioner_3d(
     free = jnp.asarray(V.free_mask)
     fmask = V.free_mask
 
-    # coarse: vector-P1 embedding (full-space transfer; the extension E
-    # overwrites its interior completion with the exact harmonic one)
-    T, TT = hybrid_h1_embedding_3d(V, dtype)
     space = H1(mesh, 1, dirichlet=velocity_dirichlet)
     solve1 = coarse_p1_solver(space, coarse_coefficient, dtype)
     nv = mesh.nv
-
-    if dof_scale is None:
-        def coarse(r):
-            r3 = TT(r).reshape(3, nv)
-            return T(jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1))
-    else:
-        # equilibrated system A~ = D A D: the aux-space transfer becomes
-        # D^{-1} T (the correction must approximate A~^{-1} = D^{-1} A^{-1}
-        # D^{-1} on coarse modes)
-        Dinv = jnp.asarray(1.0 / dof_scale, dtype)
-
-        def coarse(r):
-            r3 = TT(Dinv * r).reshape(3, nv)
-            c = T(jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1))
-            return Dinv * c
 
     # ``store_dtype``: table STORAGE precision.  f32-stored tables applied
     # in f64 vector arithmetic stay a FIXED linear operator (a
@@ -279,13 +360,58 @@ def build_skeleton_preconditioner_3d(
         # scatter-free face-block formulation (ops/faceblock.py): every
         # index op a block-row gather — the dof-level gather/scatter
         # formulation below is ~7x slower per apply on TPU (round-3
-        # microbenchmark, scripts/microbench_apply.py)
+        # microbenchmark, scripts/microbench_apply.py).  The coarse
+        # correction runs at FACE level (interiors are never consulted by
+        # the skeleton smoother; the harmonic extension owns them).
+        from ..ops.faceblock import FaceBlockLayout
+
+        lay = FaceBlockLayout(V)
+        TF, TFt = hybrid_h1_face_transfer(V, lay, dtype)
+        if dof_scale is None:
+            def coarse_vc(rF):
+                return TF(solve1(TFt(rF)))
+        else:
+            # equilibrated system A~ = D A D: the aux-space transfer
+            # becomes D^{-1} T (the correction must approximate
+            # A~^{-1} = D^{-1} A^{-1} D^{-1} on coarse modes)
+            dinv = 1.0 / np.asarray(dof_scale)
+            DinvF = jnp.asarray(
+                np.concatenate(
+                    [
+                        dinv[: lay.off_c].reshape(lay.nface, lay.nfd_v),
+                        dinv[lay.nhd:].reshape(lay.nface, lay.nfd_f),
+                    ],
+                    axis=1,
+                ),
+                dtype,
+            )
+
+            def coarse_vc(rF):
+                return DinvF * TF(solve1(TFt(DinvF * rF)))
+
         return _build_skeleton_fast(
-            V, free, fmask, AinvAis, A_ii_inv, S_loc, coarse, gs, sdt,
-            cdt=dtype, ext_sdt=ext_store_dtype or sdt,
+            V, free, fmask, AinvAis, A_ii_inv, S_loc, coarse_vc, gs, sdt,
+            lay=lay, cdt=dtype, ext_sdt=ext_store_dtype or sdt,
             panel_sdt=panel_store_dtype or sdt,
             inv_sdt=inv_store_dtype or sdt,
         )
+
+    # coarse: vector-P1 embedding (full-space transfer; the extension E
+    # overwrites its interior completion with the exact harmonic one)
+    T, TT = hybrid_h1_embedding_3d(V, dtype)
+
+    if dof_scale is None:
+        def coarse(r):
+            rt = TT(r).reshape(3, nv).T  # (nv, 3)
+            zt = solve1(rt)  # one batched solve for all 3 components
+            return T(zt.T.reshape(-1))
+    else:
+        Dinv = jnp.asarray(1.0 / dof_scale, dtype)
+
+        def coarse(r):
+            rt = TT(Dinv * r).reshape(3, nv).T
+            zt = solve1(rt)
+            return Dinv * T(zt.T.reshape(-1))
 
     blks = [
         np.asarray([d for d in b if fmask[d]], np.int32)
@@ -357,8 +483,8 @@ def build_skeleton_preconditioner_3d(
 
 
 def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
-                         coarse, gs, sdt, cdt=jnp.float32, ext_sdt=None,
-                         panel_sdt=None, inv_sdt=None):
+                         coarse_vc, gs, sdt, lay=None, cdt=jnp.float32,
+                         ext_sdt=None, panel_sdt=None, inv_sdt=None):
     """Face-block (scatter-free) rendering of the skeleton preconditioner:
     same math as the slow path — exact interior solve + edge-star smoother
     (additive or symmetric multi-color GS) + aux-space coarse on the
@@ -378,7 +504,8 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
     from ..ops.faceblock import FaceBlockLayout, face_star_smoother
     from ..ops.pallas_mv import make_table_apply
 
-    lay = FaceBlockLayout(V)
+    if lay is None:
+        lay = FaceBlockLayout(V)
     ext_sdt = ext_sdt or sdt
     panel_sdt = panel_sdt or sdt
     inv_sdt = inv_sdt or sdt
@@ -437,9 +564,7 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
         groups = sm.color_row_groups(colors, S_perm_np, panel_sdt, inv_sdt)
 
         def coarse_faces(rF):
-            r = lay.join(rF, jnp.zeros((ne, n_int), rF.dtype))
-            yF, _ = lay.split(coarse(r))
-            return jnp.where(freeF, yF, 0.0)
+            return jnp.where(freeF, coarse_vc(rF), 0.0)
 
         rng = np.random.default_rng(7)
         # example vector in the COMPUTE dtype (>= f32): with bf16-stored
@@ -466,9 +591,7 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
 
         def pre_skel_faces(xF):
             yF = sm.smooth_faces(xF)
-            r = lay.join(xF, jnp.zeros((ne, n_int), xF.dtype))
-            cF, _ = lay.split(coarse(r))
-            return yF + jnp.where(freeF, cF, 0.0)
+            return yF + jnp.where(freeF, coarse_vc(xF), 0.0)
 
     def preA(x):
         xf = jnp.where(free, x, 0.0)
@@ -484,9 +607,7 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
     # einsums} owns the preA milliseconds decides the next optimization
     preA.parts = {
         "pre_skel": pre_skel_faces,
-        "coarse_only": (coarse_gs if gs else
-                        (lambda rF: lay.split(coarse(lay.join(
-                            rF, jnp.zeros((ne, n_int), rF.dtype))))[0])),
+        "coarse_only": (coarse_gs if gs else coarse_vc),
         "smooth_only": (sm.smooth_faces if not gs else None),
         "ext": ext_fb,
         "extT": extT_fb,
@@ -524,8 +645,8 @@ def build_auxspace_preconditioner_3d(
     nv = mesh.nv
 
     def coarse(r):
-        r3 = TT(r).reshape(3, nv)
-        return T(jnp.stack([solve1(r3[c]) for c in range(3)]).reshape(-1))
+        rt = TT(r).reshape(3, nv).T
+        return T(solve1(rt).T.reshape(-1))
 
     if gs:
         from ..precond.multicolor import (

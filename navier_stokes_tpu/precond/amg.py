@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
@@ -40,7 +41,9 @@ def _ell(A: sp.spmatrix, dtype=jnp.float64):
     n = A.shape[0]
     counts = np.diff(A.indptr)
     width = max(int(counts.max()) if n else 1, 1)
-    idx = np.zeros((n, width), dtype=np.int64)
+    # int32 indices: halves the gather-index stream (row counts stay far
+    # below 2^31; jnp gathers accept i32 under x64)
+    idx = np.zeros((n, width), dtype=np.int32)
     val = np.zeros((n, width))
     rows = np.repeat(np.arange(n), counts)
     slots = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
@@ -193,10 +196,17 @@ def build_sa_amg(K: sp.spmatrix, free: np.ndarray, dtype=jnp.float64,
         z = z + _ell_apply(lv.P_idx, lv.P_val, zc)
         return cheb_smooth(lv, r, z)
 
-    def apply(r):
+    def apply1(r):
         rf = r[free_j]
         zf = vcycle(0, rf)
         return jnp.zeros(n0, r.dtype).at[free_j].set(zf)
+
+    def apply(r):
+        # (n,) or (n, k): batched right-hand sides (vector-component coarse
+        # solves) vmap over the trailing axis
+        if r.ndim == 2:
+            return jax.vmap(apply1, in_axes=1, out_axes=1)(r)
+        return apply1(r)
 
     return apply
 

@@ -110,10 +110,12 @@ def coarse_p1_solver(
     def solve(r):
         # no precision pin: this is a preconditioner apply — reduced-precision
         # TPU matmuls only perturb the preconditioner slightly, while
-        # Precision.HIGHEST makes the f32 matmul ~3x slower on CPU
+        # Precision.HIGHEST makes the f32 matmul ~3x slower on CPU.
+        # ``r`` may be (nv,) or (nv, k) — vector-component solves batch
+        # into one matmul.
         rf = r[free_j]
         xf = inv @ rf
-        return jnp.zeros(nv, r.dtype).at[free_j].set(xf)
+        return jnp.zeros((nv,) + r.shape[1:], r.dtype).at[free_j].set(xf)
 
     return solve
 
