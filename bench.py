@@ -360,6 +360,21 @@ def measure(device, mesh, cache=None, geometry=None):
                 ),
                 f_mod, g_mod,
             )
+            # per-pass residuals through the COMPENSATED kernels (~3e-13
+            # row-relative, 4 digits below the 1e-8 target): A = D^-1 A~
+            # D^-1 etc., so conjugate the equilibrated ds operators by D.
+            # The true-f64 apply costs 33+8 ms per residual at 243k dofs
+            # (x3-4 passes = ~0.13 s of a 2 s solve); residual64 stays as
+            # the one-time verification after the cold solve.
+            Dinv = 1.0 / D
+            residual_pass = hoisted_jit(
+                lambda u0, u1: (
+                    f_mod - Dinv * ops_ds["A"](Dinv * u0)
+                    - Dinv * ops_ds["BT"](u1),
+                    g_mod - ops_ds["B"](Dinv * u0),
+                ),
+                f_mod, g_mod,
+            )
             # phase 2: MINRES on the EQUILIBRATED correction system
             # (D A D) dz~ = D r with COMPENSATED double-single operators and
             # the f32 skeleton preconditioner (plain casts — the system is
@@ -406,7 +421,10 @@ def measure(device, mesh, cache=None, geometry=None):
                 # phase 1: f32 MINRES refinement passes, chunked
                 t_solve0 = time.perf_counter()
                 for _pass in range(8):
-                    r0, r1 = residual64(x0, x1)
+                    if _pass == 0:
+                        r0, r1 = f_mod, g_mod  # x == 0: the residual IS the rhs
+                    else:
+                        r0, r1 = residual_pass(x0, x1)
                     new_rel = true_rel(r0, r1)
                     log(f"  p1 pass {_pass}: rel={new_rel:.3e} "
                         f"inner={total_inner} "
@@ -439,7 +457,7 @@ def measure(device, mesh, cache=None, geometry=None):
                 # on the equilibrated correction system (warm-restarted chunks)
                 _outer = 0
                 while _outer < 6 and rel > TOL:
-                    r0, r1 = residual64(x0, x1)
+                    r0, r1 = residual_pass(x0, x1)
                     # same adaptation for the double-single endgame (its f64
                     # recurrence tracks the true residual much closer; a
                     # 16x safety margin instead of 256x)
@@ -457,7 +475,7 @@ def measure(device, mesh, cache=None, geometry=None):
                             break
                     x0n = x0 + D * dx0
                     x1n = x1 + dx1
-                    r0n, r1n = residual64(x0n, x1n)
+                    r0n, r1n = residual_pass(x0n, x1n)
                     new_rel = true_rel(r0n, r1n)
                     log(f"  p2 outer {_outer}: rel={new_rel:.3e} "
                         f"(+{rounds} chunks) inner={total_inner} "
@@ -470,10 +488,23 @@ def measure(device, mesh, cache=None, geometry=None):
                     _outer += 1
                 return (x0, x1), rel, total_inner
 
+            t_c = time.perf_counter()
             x, rel, inner = full_solve()  # compile + warmup
             jax.block_until_ready(x)
-            log(f"{device.platform} cold done: rel_res={rel:.2e} inner={inner}")
-            assert rel <= TOL, f"did not reach {TOL}: {rel}"
+            t_cold = time.perf_counter() - t_c
+            # one-time verification of the compensated-kernel residual
+            # against the TRUE f64 operator (the solve's own control flow
+            # runs on residual_pass; its ~3e-13 accuracy must show here)
+            r0v, r1v = residual64(x[0], x[1])
+            rel_true = true_rel(r0v, r1v)
+            log(f"{device.platform} cold done: rel_res={rel:.2e} "
+                f"(true f64 {rel_true:.2e}) inner={inner}")
+            assert rel_true <= 1.01 * TOL, (
+                f"did not reach {TOL}: true {rel_true} (ds {rel})")
+            if os.environ.get("BENCH_COLD_ONLY"):
+                # iteration-count A/Bs (e.g. bf16 table groups): the cold
+                # wall includes compiles — only ``inner`` is meaningful
+                return int(inner), t_cold
             t_w = time.perf_counter()
             x, rel, inner = full_solve()
             jax.block_until_ready(x)

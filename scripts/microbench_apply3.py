@@ -47,23 +47,38 @@ K = 50
 
 
 def timed(fn, *args, k=K, reps=3):
-    @jax.jit
-    def chain(*a):
-        def body(i, v):
-            w = fn(*((v,) + a[1:]))
-            return w / jnp.linalg.norm(w.ravel()[:1024])
+    # marginal slope between two chain lengths: a single chain's t/K
+    # carries the ~29 ms fixed tunnel-execution overhead (~0.6 ms/it at
+    # K=50), which buried the kernel's true rate (505 vs the reported
+    # 136 GB/s) in the session-4 runs
+    def make_chain(K):
+        @jax.jit
+        def chain(*a):
+            def body(i, v):
+                w = fn(*((v,) + a[1:]))
+                return w / jnp.linalg.norm(w.ravel()[:1024])
 
-        return jax.lax.fori_loop(0, k, body, a[0])
+            return jax.lax.fori_loop(0, K, body, a[0])
 
-    out = chain(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
+        return chain
+
+    k1, k2 = 10, k + 10
+    c1, c2 = make_chain(k1), make_chain(k2)
+
+    def best(chain):
         out = chain(*args)
         jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) / k)
-    return sorted(ts)[len(ts) // 2], out
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = chain(*args)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2], out
+
+    t1, _ = best(c1)
+    t2, out = best(c2)
+    return (t2 - t1) / (k2 - k1), out
 
 
 def main():

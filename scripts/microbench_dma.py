@@ -44,25 +44,43 @@ K_CHAIN = 50
 
 
 def timed(label, fn, x, gb):
-    @jax.jit
-    def chain(v):
-        def body(i, w):
-            y = fn(w)
-            return y / jnp.maximum(jnp.linalg.norm(y.ravel()[:256]), 1e-30)
+    # MARGINAL per-apply cost from two chain lengths: each tunnel execution
+    # carries a ~29 ms fixed overhead (dispatch + sync), so a single
+    # chain's t/K overstates the apply several-fold at these sizes — the
+    # round-3 session-4 numbers (~112 GB/s) were exactly that artifact;
+    # the marginal slope puts the same kernel at ~505 GB/s of the chip's
+    # 819 (measured 2026-08-18).
+    def make_chain(K):
+        @jax.jit
+        def chain(v):
+            def body(i, w):
+                y = fn(w)
+                return y / jnp.maximum(
+                    jnp.linalg.norm(y.ravel()[:256]), 1e-30)
 
-        return jax.lax.fori_loop(0, K_CHAIN, body, v)
+            return jax.lax.fori_loop(0, K, body, v)
 
+        return chain
+
+    K1, K2 = 10, K_CHAIN + 10
     try:
-        out = chain(x)
-        jax.block_until_ready(out)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        c1, c2 = make_chain(K1), make_chain(K2)
+
+        def best(chain):
             out = chain(x)
             jax.block_until_ready(out)
-            ts.append((time.perf_counter() - t0) / K_CHAIN)
-        dt = sorted(ts)[1]
-        print(f"  {label:28s} {dt*1e3:7.3f} ms  {gb/dt:7.1f} GB/s", flush=True)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = chain(x)
+                jax.block_until_ready(out)
+                ts.append(time.perf_counter() - t0)
+            return sorted(ts)[1]
+
+        t1, t2 = best(c1), best(c2)
+        dt = (t2 - t1) / (K2 - K1)
+        print(f"  {label:28s} {dt*1e3:7.3f} ms  {gb/dt:7.1f} GB/s  "
+              f"(chain{K1} {t1*1e3:6.1f} ms)", flush=True)
     except Exception as e:
         print(f"  {label:28s} FAILED {repr(e)[:100]}", flush=True)
 

@@ -46,7 +46,7 @@ BENCH_PROBE=1 timeout 1800 python bench.py \
 echo "probe rc=$?" >> /tmp/tpu_pipe_status
 
 # 3) A/B: splitK on the tiled apply (NSTPU_SPLITK), kernel microbench.
-PYTHONPATH=/root/repo timeout 1200 python scripts/microbench_apply3.py \
+PYTHONPATH=/root/repo:/root/.axon_site timeout 1200 python scripts/microbench_apply3.py \
   > /tmp/tpu_pipe_mb3.log 2>&1
 echo "microbench rc=$?" >> /tmp/tpu_pipe_status
 
