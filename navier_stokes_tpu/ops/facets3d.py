@@ -54,27 +54,29 @@ def facet_geometry_3d(mesh: Mesh, degree: int) -> FacetGeometry3D:
         gl = els[:, list(fverts)]  # (ne, 3) global vertex ids, local order
         perm = np.argsort(gl, axis=1)  # sorted-global order positions
         face_perm[:, lf, :] = perm
-        for e in range(ne):
-            p = perm[e]
-            lv = [TET_VERTICES[fverts[i]] for i in p]
-            origin, e1r, e2r = lv[0], lv[1] - lv[0], lv[2] - lv[0]
-            ref_points[e, lf] = (
-                origin[None, :]
-                + qp[:, 0:1] * e1r[None, :]
-                + qp[:, 1:2] * e2r[None, :]
-            )
-            gv = pts[gl[e, p]]  # physical coords in sorted order
-            E1, E2 = gv[1] - gv[0], gv[2] - gv[0]
-            cr = np.cross(E1, E2)
-            a = np.linalg.norm(cr)
-            n = cr / a
-            # orient outward
-            if np.dot(n, gv[0] - cent[e]) < 0:
-                n = -n
-            normal[e, lf] = n
-            area[e, lf] = a  # |E1 x E2| = dS/(ds dt)
-            frame[e, lf, 0] = E1
-            frame[e, lf, 1] = E2
+        # reference-coordinate face frame, permuted per element: (ne, 3, 3)
+        lv = TET_VERTICES[np.asarray(fverts)][perm]
+        e1r = lv[:, 1] - lv[:, 0]
+        e2r = lv[:, 2] - lv[:, 0]
+        ref_points[:, lf] = (
+            lv[:, None, 0, :]
+            + qp[None, :, 0, None] * e1r[:, None, :]
+            + qp[None, :, 1, None] * e2r[:, None, :]
+        )
+        # physical coords in sorted-global order: (ne, 3, 3)
+        gv = pts[np.take_along_axis(gl, perm, axis=1)]
+        E1 = gv[:, 1] - gv[:, 0]
+        E2 = gv[:, 2] - gv[:, 0]
+        cr = np.cross(E1, E2)
+        a = np.linalg.norm(cr, axis=1)
+        n = cr / a[:, None]
+        # orient outward
+        flip = np.einsum("ec,ec->e", n, gv[:, 0] - cent) < 0
+        n = np.where(flip[:, None], -n, n)
+        normal[:, lf] = n
+        area[:, lf] = a  # |E1 x E2| = dS/(ds dt)
+        frame[:, lf, 0] = E1
+        frame[:, lf, 1] = E2
     return FacetGeometry3D(
         qp=qp, qw=qw, ref_points=ref_points, normal=normal, area=area,
         frame=frame, face_perm=face_perm,
