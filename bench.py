@@ -66,7 +66,12 @@ jax.config.update("jax_enable_x64", True)
 try:
     if jax.devices()[0].platform != "cpu":
         jax.config.update("jax_compilation_cache_dir", "/tmp/nstpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # cache EVERY compile, not just >5s ones: the setup phase dispatches
+        # many small uniquely-shaped programs (upload reshapes, setup-time
+        # eager ops) that each cost a ~1-3s round trip through the remote
+        # compile service — measured as the bulk of a 390s warm-cache setup
+        # when only the big solver programs were cached
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 except Exception:
     pass
 
@@ -325,6 +330,7 @@ def measure(device, mesh, cache=None, geometry=None):
         t0 = time.perf_counter()
         m64 = build(mesh, jnp.float64, "faceblock", cache=cache,
                     geometry=geometry)
+        log(f"  [setup] model build {time.perf_counter() - t0:.1f}s")
         def attempt():
             # Jacobi-equilibrated SPLIT f32 inner system: no f64 operator
             # tables ever ship to the device.  BENCH_GS=1 swaps the additive
@@ -334,10 +340,13 @@ def measure(device, mesh, cache=None, geometry=None):
             # ops_ds: COMPENSATED double-single operators for phase 2 (Pallas
             # two_prod/two_sum kernel, ~3e-13 row-relative accuracy at f32
             # streaming speed — 3.3 ms vs 34.4 ms for the emulated-f64 apply).
+            t_ph = time.perf_counter()
             ops32, D, ops_ds = equilibrated_f32_ops(
                 m64, gs=bool(int(os.environ.get("BENCH_GS", "1"))), split=True,
                 with_ds=True,
             )
+            log(f"  [setup] equilibrated ops {time.perf_counter() - t_ph:.1f}s")
+            t_ph = time.perf_counter()
             f_mod = jnp.where(m64.free, m64.f - m64.A_raw(m64.u_bc), 0.0)
             g_mod = -m64.B_raw(m64.u_bc)
             rhs_norm = float(jnp.sqrt(jnp.vdot(f_mod, f_mod) + jnp.vdot(g_mod, g_mod)))
@@ -358,6 +367,8 @@ def measure(device, mesh, cache=None, geometry=None):
             CHUNK32 = int(os.environ.get("BENCH_CHUNK32", "2000"))
             z32 = jnp.zeros_like(f_mod, jnp.float32)
             zp32 = jnp.zeros_like(g_mod, jnp.float32)
+            log(f"  [setup] rhs eval {time.perf_counter() - t_ph:.1f}s")
+            t_ph = time.perf_counter()
             minres_chunk = hoisted_jit(
                 lambda r0s, r1s, x0, x1, tl: minres(
                     K32, (r0s, r1s), pre=pre32, sol=(x0, x1),
@@ -366,6 +377,8 @@ def measure(device, mesh, cache=None, geometry=None):
                 ),
                 z32, zp32, z32, zp32, jnp.float32(5e-7),
             )
+            log(f"  [setup] trace minres32 {time.perf_counter() - t_ph:.1f}s")
+            t_ph = time.perf_counter()
             residual64 = hoisted_jit(
                 lambda u0, u1: (
                     f_mod - m64.A(u0) - m64.BT(u1), g_mod - m64.B(u0)
@@ -419,6 +432,7 @@ def measure(device, mesh, cache=None, geometry=None):
                 ),
                 z64, zp64, z64, zp64, jnp.float64(1e-4),
             )
+            log(f"  [setup] trace residuals+p2 {time.perf_counter() - t_ph:.1f}s")
 
             def true_rel(r0, r1):
                 return float(

@@ -501,8 +501,19 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
     sweep COMPOSES many table applies and measured ~2x the Krylov
     iterations with bf16 sweep tables — so 'ext-only' bf16 keeps the
     iteration count and still drops the largest single stream."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
     from ..ops.faceblock import FaceBlockLayout, face_star_smoother
     from ..ops.pallas_mv import make_table_apply
+
+    _t0 = _time.perf_counter()
+
+    def _plog(msg):
+        if _os.environ.get("NSTPU_SETUP_LOG"):
+            print(f"      [skel] {msg} {_time.perf_counter() - _t0:.1f}s",
+                  file=_sys.stderr, flush=True)
 
     if lay is None:
         lay = FaceBlockLayout(V)
@@ -513,6 +524,7 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
     AinvAis_perm_np = np.ascontiguousarray(AinvAis[:, :, lay.perm_skel])
     sm = face_star_smoother(lay, S_perm_np, np.asarray(fmask), sdt,
                             compute_dtype=cdt)
+    _plog("edge-star smoother inverses")
     freeF = sm.freeF
     ne, n_int = lay.ne, lay.n_int
     ext_apply = make_table_apply(AinvAis_perm_np, store_dtype=ext_sdt,
@@ -561,7 +573,9 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
         # sweep direction, color-count independent) instead of a full
         # skeleton apply per color (2 x ncolors streams — the dominant
         # cost of the recompute sweep; see color_row_groups)
+        _plog("coloring")
         groups = sm.color_row_groups(colors, S_perm_np, panel_sdt, inv_sdt)
+        _plog("row-panel groups")
 
         def coarse_faces(rF):
             return jnp.where(freeF, coarse_vc(rF), 0.0)
@@ -575,6 +589,7 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
             jnp.promote_types(sdt, jnp.float32),
         ) * freeF
         coarse_gs, _, _ = damped_coarse(coarse_faces, S_faces, exF)
+        _plog("coarse damping power iteration")
 
         def pre_skel_faces(xF):
             y = None  # zero iterate: the first color reads xF directly

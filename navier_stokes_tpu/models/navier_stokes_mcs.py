@@ -714,6 +714,18 @@ class NavierStokesMCS:
         self.mesh, self.order, self.dtype = mesh, order, dtype
         self.preconditioner = preconditioner
 
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _t0 = _time.perf_counter()
+
+        def _plog(msg):
+            if _os.environ.get("NSTPU_SETUP_LOG"):
+                print(
+                    f"      [init] {msg} {_time.perf_counter() - _t0:.1f}s",
+                    file=_sys.stderr, flush=True)
+
         dirich = inflow + "|" + wall
         # stress: polynomial degree k with facet nt-trace degree k-1 — the
         # reference's HCurlDiv(order-1, orderinner=order) (:27).  The
@@ -755,6 +767,7 @@ class NavierStokesMCS:
             # SAME (mesh, order, nu) lets a second model (e.g. the f32
             # transient twin of the bench's f64 model) skip host assembly
             # and condensation entirely — only the device casts differ.
+            _plog("spaces built")
             tkey = "tabs3d" if geometry is None else "tabs3d_curved"
             if assembly_cache is not None and tkey in assembly_cache:
                 A_ret, A_rc, A_cc, M_full_np, B_loc_np = assembly_cache[
@@ -778,6 +791,7 @@ class NavierStokesMCS:
                     assembly_cache[tkey] = (
                         A_ret, A_rc, A_cc, M_full_np, B_loc_np
                     )
+        _plog("local assembly (or cache hit)")
         # static condensation: batched dense elimination of (sigma, W)
         ckey = "cond" if geometry is None else "cond_curved"
         if assembly_cache is not None and ckey in assembly_cache:
@@ -789,6 +803,7 @@ class NavierStokesMCS:
             , optimize=True)
             if assembly_cache is not None:
                 assembly_cache[ckey] = (self._Acc_inv, self.A_cond_np)
+        _plog("condensation (or cache hit)")
         self._A_rc = A_rc  # for stress reconstruction
 
         n = self.Xv.ndof
@@ -810,6 +825,7 @@ class NavierStokesMCS:
             self.fb = None
             A_cond = jnp.asarray(self.A_cond_np, dtype)
         self._A_cond = A_cond
+        _plog("face-block permute + A upload")
 
         if mesh.dim == 2 and geometry is None:
             # velocity mass (u block only; signs folded) for mstar +
@@ -837,22 +853,29 @@ class NavierStokesMCS:
             B_loc = np.zeros((mesh.ne, qb.n_basis, n_ret))
             B_ref = np.einsum("q,qp,qi->pi", vol.weights, q_val, div_v_ref, optimize=True)
             B_loc[:, :, :nbv] = B_ref[None] * self.V.element_signs[:, None, :]
+            B_host = B_loc
             self._B_loc = jnp.asarray(B_loc, dtype)
         else:
             self._M_loc_np = M_full_np
+            B_host = np.asarray(B_loc_np)
             self._B_loc = jnp.asarray(B_loc_np, dtype)
         self.eldofs_p = jnp.asarray(self.Q.element_dofs)
 
         free, eldofs = self.free, self.eldofs
 
+        self._B_host = B_host  # setup paths must never download _B_loc
         if self.fb is not None:
             _A_apply = self.fb.elem_apply(A_cond)
             # _B_loc keeps the FLAT element-local order (host assembly in
-            # tests/ddshard reads it); the face-major copy feeds the apply
+            # tests/ddshard reads it); the face-major copy feeds the apply.
+            # Permute the HOST copy: np.asarray(device_array) pulls the
+            # table back through the axon tunnel, whose device->host
+            # direction runs at ~0-23 MB/s (measured round 4) — the two
+            # round trips this replaced dominated the whole model build.
             self._B_perm = jnp.asarray(
-                self.fb.permute_cols(np.asarray(self._B_loc)), dtype
+                self.fb.permute_cols(B_host), dtype
             )
-            self._B_loc = jnp.asarray(np.asarray(self._B_loc), dtype)
+            _plog("B permute+upload")
             _B_apply, _BT_apply = self.fb.rect_apply(
                 self._B_perm, self.Q.element_dofs, self.Q.ndof
             )
@@ -909,6 +932,7 @@ class NavierStokesMCS:
         # (GS=False) by default; SolveInitial(GS=True) swaps in the
         # symmetric multi-color block-Gauss-Seidel variant (reference
         # MypreA.Mult :375-381) built from the same blocks.
+        _plog("operator closures")
         self._dirich = dirich
         self._preA_cache: dict[bool, object] = {}
         diag_m_np = np.zeros(n)
@@ -961,6 +985,7 @@ class NavierStokesMCS:
         # convection (upwind DG on the H(div) block): built lazily — its
         # per-element trace tables are the largest setup artifact and the
         # steady SolveInitial path never touches them
+        _plog("diagonals + projection ops")
         self._uin_np = self._wrap_uin(uin)
         self._conv_v = None
 
@@ -974,6 +999,7 @@ class NavierStokesMCS:
             u_bc = interpolate_hybrid_boundary_3d(
                 self.Xv, self._uin_np, inflow
             )
+        _plog("boundary interpolation")
         self.u_bc = jnp.asarray(u_bc, dtype)
         self.u = self.u_bc
         self.p = jnp.zeros(self.Q.ndof, dtype)

@@ -146,12 +146,30 @@ def damped_coarse(coarse, A_apply, example, target: float = 0.9,
 
     target = float(os.environ.get("NSTPU_COARSE_TARGET", target))
 
-    v = example / jnp.linalg.norm(example)
-    lam = 1.0
-    for _ in range(iters):
-        w = coarse(A_apply(v))
-        lam = jnp.linalg.norm(w)
-        v = w / jnp.maximum(lam, 1e-30)
+    # ONE jitted fori_loop, not ``iters`` eager composite applies: through
+    # the axon tunnel the eager form dispatched hundreds of ops and
+    # compiled each uniquely-shaped one via the slow remote compile
+    # service on every bench run — a large slice of the round-3 "tpu
+    # setup 328.7s".  hoisted_jit keeps the captured operator tables as
+    # runtime arguments (HTTP 413 guard, utils/jaxtools.py).
+    import jax
+
+    from ..utils.jaxtools import hoisted_jit
+
+    def power(v0):
+        def body(_, carry):
+            v, _lam = carry
+            w = coarse(A_apply(v))
+            lam_new = jnp.linalg.norm(w)
+            return w / jnp.maximum(lam_new, 1e-30), lam_new
+
+        return jax.lax.fori_loop(
+            0, iters, body,
+            (v0, jnp.asarray(1.0, jnp.result_type(v0))),
+        )
+
+    v0 = example / jnp.linalg.norm(example)
+    _, lam = hoisted_jit(power, v0)(v0)
     lam = float(lam)
     theta = min(1.0, target / max(lam, 1e-30))
     if not np.isfinite(theta) or theta <= 0:

@@ -116,10 +116,20 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
     a float64 jnp vector.  Residual mapping for refinement: r~0 = D r0,
     r~1 = r1; solution mapping dx0 = D dx~0.
     """
+    import sys as _sys
+    import time as _time
+
     import numpy as np
 
     from ..models.auxspace3d import build_skeleton_preconditioner_3d
     from ..ops import assembly as asm
+
+    _t0 = _time.perf_counter()
+
+    def _plog(msg):
+        if _os.environ.get("NSTPU_SETUP_LOG"):
+            print(f"    [ops] {msg} {_time.perf_counter() - _t0:.1f}s",
+                  file=_sys.stderr, flush=True)
 
     A_loc = m.A_cond_np
     eldofs = np.asarray(m.Xv.element_dofs)
@@ -146,6 +156,7 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
         A_lo_np = (A_sp - A_hi_np.astype(np.float64)).astype(np.float32)
         A_hi = jnp.asarray(A_hi_np)
         A_lo = jnp.asarray(A_lo_np)
+        _plog("A split tables built")
         mats_np = [A_hi_np] + ([A_lo_np] if split else [])
         if _os.environ.get("NSTPU_PALLAS", "1") != "0":
             # tile-contiguous Pallas stream on TPU, einsum elsewhere
@@ -158,15 +169,23 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
             uf = jnp.where(free_j, u, 0.0)
             return jnp.where(free_j, _A32(uf), u)
 
-        B_sp = (np.asarray(m._B_loc, np.float64) * De[:, None, :])[
+        # host copy of B: np.asarray on the device table would pull it
+        # back through the tunnel (device->host measured ~0-23 MB/s)
+        B_np = getattr(m, "_B_host", None)
+        if B_np is None:
+            B_np = np.asarray(m._B_loc, np.float64)
+        B_sp = (np.asarray(B_np, np.float64) * De[:, None, :])[
             :, :, lay.perm
         ]
-        B_hi = jnp.asarray(B_sp, f32)
-        B_lo = jnp.asarray(B_sp - np.asarray(B_hi, np.float64), f32)
+        B_hi_np = B_sp.astype(np.float32)
+        B_hi = jnp.asarray(B_hi_np)
+        B_lo = jnp.asarray(
+            (B_sp - B_hi_np.astype(np.float64)).astype(np.float32))
         mats_B = [B_hi]
         if split:
             mats_B.append(B_lo)
         _B32, _BT32 = lay.rect_apply_multi(mats_B, m.Q.element_dofs, nQ)
+        _plog("A/B applies built")
 
         def B32(u):
             return _B32(jnp.where(free_j, u, 0.0))
@@ -201,6 +220,7 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
                 return jnp.where(free_j, _BT_ds(p), 0.0)
 
             ops_ds = dict(A=A_ds, B=B_ds, BT=BT_ds)
+            _plog("compensated ds applies built")
 
     else:
         assert not with_ds, "double-single ops need the face-block layout"
@@ -280,12 +300,14 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
     def _pick(tok):
         return b16 if tok in toks else f32
 
+    _plog("pre-skeleton")
     preA32 = build_skeleton_preconditioner_3d(
         m.Xv, A_s, m._dirich, f32, coarse_coefficient=m.nu, gs=gs,
         dof_scale=D, store_dtype=_pick("sweep"),
         ext_store_dtype=_pick("ext"), panel_store_dtype=_pick("panels"),
         inv_store_dtype=_pick("inv"),
     )
+    _plog("skeleton preconditioner built")
     diag_Mp32 = jnp.asarray(m._diag_Mp, f32)
     nu32 = jnp.asarray(m.nu, f32)
     preM32 = lambda p: nu32 * p / diag_Mp32
