@@ -78,11 +78,13 @@ except Exception:
 import jax.numpy as jnp
 import numpy as np
 
-# harmonic-extension + interior tables stored bfloat16 (f32 arithmetic):
-# iteration-count-neutral (650 vs 628 inner its on the 3D channel) and
-# drops ~25% of the preconditioner's HBM stream.  Full-table bf16
-# ("NSTPU_SMOOTHER_BF16=1") measured ~2x the iterations — do not default.
-os.environ.setdefault("NSTPU_SMOOTHER_BF16", "ext")
+# bf16-stored smoother table groups (f32 arithmetic), A/B'd per group on
+# hardware (round 4): "ext" (harmonic extension + interior) and "inv"
+# (edge-star inverse tables) are ITERATION-NEUTRAL (354 inner its with
+# both, identical to f32) and together halve ~3GB of the preconditioner's
+# upload + HBM stream; "panels" costs +30% iterations (465 vs 354) and
+# full-table bf16 ~2x — do not default those.
+os.environ.setdefault("NSTPU_SMOOTHER_BF16", "ext,inv")
 # stronger multiplicative coarse correction (SPD limit is 2.0; the power
 # iteration leaves ~25% margin): 484->458 inner its at maxh=0.09,
 # 840->815 at 0.3, 763->736 at 0.45 — measured, monotone across scales.

@@ -62,6 +62,11 @@ SLOW_TESTS = {
     # round 3: 3D curved geometry (VERDICT item 5)
     "test_curved3d_affine_consistency",
     "test_curved3d_mcs_channel_solves",
+    # round 4: face-sharded production fast path (VERDICT item 4)
+    "test_faceshard_operators_match_single_device",
+    "test_faceshard_solve_matches_single_device",
+    # round 4: iteration-count regression guard (VERDICT item 8)
+    "test_bench_iteration_count_guard",
 }
 
 
