@@ -4,4 +4,7 @@ from .generators import (
     cavity_mesh,
     channel_with_cylinder_mesh,
     channel_with_cylinder_mesh_3d,
+    extrude_to_tets,
+    polygon_mesh,
+    rectangle_mesh,
 )
