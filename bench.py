@@ -192,6 +192,8 @@ def measure_transient(device, mesh, cache, n_steps=None, geometry=None):
     projection tolerance 1e-5 — the SIMPLE time loop of the reference
     (NavierStokesSIMPLE_iterative.py:427-438).  ``cache`` shares the host
     assembly/condensation with the f64 initial-solve model."""
+    from navier_stokes_tpu.utils.jaxtools import hoisted_jit
+
     jax.config.update(
         "jax_default_matmul_precision",
         "highest" if device.platform == "tpu" else None,
@@ -200,7 +202,11 @@ def measure_transient(device, mesh, cache, n_steps=None, geometry=None):
         t0 = time.perf_counter()
         m32 = build(mesh, jnp.float32, "faceblock", cache=cache,
                     geometry=geometry)
-        step = jax.jit(m32.make_step_fn(project_tol=1e-5))
+        # hoisted_jit: the step closes over GB-scale tables (convection
+        # traces, element blocks); plain jit embeds them as constants in
+        # the remote-compile payload, which killed the compile service at
+        # bench scale (broken pipe after ~30 min, round 4)
+        step = hoisted_jit(m32.make_step_fn(project_tol=1e-5), m32.u)
         u = step(m32.u)  # compile + warm
         jax.block_until_ready(u)
         log(f"{device.platform} transient setup+compile "
