@@ -1199,6 +1199,86 @@ class NavierStokesMCS:
             )
         return self._mass_cheb
 
+    def _pre_proj_twolevel(self):
+        """Element-block Jacobi + vertex-P1 Laplacian coarse for the
+        projection Schur complement S = B Mv^{-1} B^T.
+
+        S is spectrally a pressure POISSON operator (Neumann at walls,
+        Dirichlet-like at the outflow) whose conditioning is dominated by
+        the anisotropic sliver elements near the cylinder (aspect ~400):
+        measured at bench scale (round 4), projection CG takes 939 its
+        with the diag-mass preconditioner, 904 with diag+coarse (the
+        coarse can't see the local sliver modes), 402 with element-block
+        Jacobi alone, and **26** with block + coarse.  The block is the
+        ELEMENT-LOCAL Schur B_e Mloc_e^+ B_e^T (shared velocity faces
+        double-counted — a factor-~2 spectral perturbation the CG
+        tolerates); the coarse transfer is ONE reference-frame matrix
+        (m, d+1): pressure is elementwise modal, and the L2 projection of
+        a vertex-linear field onto the element basis has the same
+        coefficients on every affine element.  Enclosed flows (no
+        outflow) use block + demean: the pure-Neumann coarse Laplacian is
+        singular.
+        """
+        if getattr(self, "_pre_proj2", None) is not None:
+            return self._pre_proj2
+
+        # element-block Jacobi on S (host setup, batched tiny inverses)
+        B_loc = np.asarray(self._B_host, np.float64)
+        M_loc = np.asarray(self._M_loc_np, np.float64)
+        ne, mQ, _ = B_loc.shape
+        Mpinv = np.linalg.pinv(M_loc, rcond=1e-10)
+        S_blk = np.einsum("epi,eij,eqj->epq", B_loc, Mpinv, B_loc,
+                          optimize=True)
+        S_inv = jnp.asarray(np.linalg.pinv(S_blk, rcond=1e-8), self.dtype)
+
+        def block(p):
+            pe = p.reshape(ne, mQ)
+            return jnp.einsum("epq,eq->ep", S_inv, pe).reshape(-1)
+
+        if not self.outflow:
+            def pre_enc(p):
+                pd = p - jnp.mean(p)
+                y = block(pd)
+                return y - jnp.mean(y)
+
+            self._pre_proj2 = pre_enc
+            return self._pre_proj2
+
+        from ..fem.quadrature import tetrahedron_rule, triangle_rule
+        from ..fem.spaces import H1
+        from ..precond.twolevel import coarse_p1_solver
+
+        mesh = self.mesh
+        qb = self.Q.basis
+        rule = (tetrahedron_rule(2 * max(self.Q.order, 1) + 1)
+                if mesh.dim == 3 else
+                triangle_rule(2 * max(self.Q.order, 1) + 1))
+        q_val, _ = qb.tabulate(rule.points)  # (nq, m)
+        lam = np.concatenate(
+            [1 - rule.points.sum(1, keepdims=True), rule.points], axis=1
+        )  # (nq, d+1)
+        Mref = np.einsum("q,qa,qb->ab", rule.weights, q_val, q_val)
+        Tref = np.linalg.solve(
+            Mref, np.einsum("q,qa,qv->av", rule.weights, q_val, lam)
+        )  # (m, d+1): element coefficients of a vertex-linear field
+        solve1 = coarse_p1_solver(
+            H1(mesh, 1, dirichlet=self.outflow), 1.0, self.dtype
+        )
+        els = jnp.asarray(mesh.elements)
+        Tref_j = jnp.asarray(Tref, self.dtype)
+        nv = mesh.nv
+
+        def pre(p):
+            pe = p.reshape(ne, mQ)
+            g = jnp.zeros(nv, p.dtype).at[els].add(
+                jnp.einsum("av,ea->ev", Tref_j, pe))
+            z = solve1(g)
+            coarse = jnp.einsum("av,ev->ea", Tref_j, z[els]).reshape(-1)
+            return block(p) + coarse
+
+        self._pre_proj2 = pre
+        return pre
+
     def _project_velocity(self, u, tol: float = 1e-9, maxsteps: int = 2000):
         Minv = self._mass_chebyshev()
 
@@ -1206,7 +1286,8 @@ class NavierStokesMCS:
             return self.B(Minv(self.BT(p)))
 
         rhs = self.B_raw(u)
-        pres = cg(S, rhs, pre=self._preM_proj, tol=tol, maxsteps=maxsteps)
+        pres = cg(S, rhs, pre=self._pre_proj_twolevel(), tol=tol,
+                  maxsteps=maxsteps)
         return u - Minv(self.BT(pres.x)), pres.x
 
     def Project(self, vel=None):
@@ -1226,6 +1307,7 @@ class NavierStokesMCS:
         # stepping model must pass a reachable one (~1e-5) or the
         # projection burns its full maxsteps every step.
         self._mass_chebyshev()
+        self._pre_proj_twolevel()  # host setup — must happen outside traces
         free, f, dt = self.free, self.f, self.timestep
         conv, A_raw = self.convection, self.A_raw
         inv_mstar, project = self._inv_mstar, self._project_velocity

@@ -146,6 +146,7 @@ def make_viscosity_step_mcs(model):
     convection = model.convection
     project = model._project_velocity
     model._mass_chebyshev()  # construct outside traces (concrete Lanczos)
+    model._pre_proj_twolevel()  # host setup — must happen outside traces
     model.convection(model.u)  # build conv tables outside traces too
     eldofs = model.Xv.element_dofs
     M_np = np.asarray(model._M_loc_np)
