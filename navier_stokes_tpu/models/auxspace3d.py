@@ -289,6 +289,47 @@ def _edge_star_skeleton_blocks(V) -> list[np.ndarray]:
     return blocks
 
 
+def _device_schur_fb(A_dev, ns: int, chunk_bytes: float = 4e8):
+    """Interior Schur complement of a FACE-MAJOR condensed element table,
+    computed ON DEVICE (round 4, the setup-time lever).
+
+    In face-major order the skeleton dofs are the leading ``ns = 4*nfb``
+    block of every element matrix and the interiors the trailing block, so
+    A_ii / A_is / A_ss are plain slices and the whole derivation is batched
+    f32 LU + two batched matmuls on the MXU — no host pass over the
+    GB-scale table, no tunnel upload of the three derived tables (the host
+    path's inv+matmul chain was ~1 min of single-core numpy at bench scale
+    and its products 2-3 full-table-equivalents of tunnel traffic).
+
+    f32 instead of the host path's f64: the products only ever feed
+    f32/bf16-STORED preconditioner tables, so the new error is the f32
+    LU/matmul rounding (~eps32 * kappa(A_ii) on the inverse) — measured
+    iteration-neutral on the flagship solve (tests/test_device_tables.py).
+
+    Returns (A_ii_inv, AinvAis, S) — all f32 device, face-major.
+    """
+    ne, nb, _ = A_dev.shape
+    hp = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def chunk_schur(Ac):
+        A_ii = Ac[:, ns:, ns:]
+        A_is = Ac[:, ns:, :ns]
+        X = jnp.linalg.inv(A_ii)
+        AiA = jnp.matmul(X, A_is, precision=hp)
+        S = Ac[:, :ns, :ns] - jnp.matmul(
+            jnp.swapaxes(A_is, 1, 2), AiA, precision=hp
+        )
+        return X, AiA, S
+
+    chunk = max(1, int(chunk_bytes / max(1, nb * nb * 4)))
+    outs = [chunk_schur(A_dev[c0: c0 + chunk].astype(jnp.float32))
+            for c0 in range(0, ne, chunk)]
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[k] for o in outs]) for k in range(3))
+
+
 def build_skeleton_preconditioner_3d(
     V, A_np, velocity_dirichlet: str, dtype=jnp.float64,
     coarse_coefficient: float = 1.0, gs: bool = False,
@@ -333,12 +374,23 @@ def build_skeleton_preconditioner_3d(
     eldofs_skel = np.ascontiguousarray(eldofs[:, loc_skel])
     int_dofs = np.ascontiguousarray(eldofs[:, loc_int])
 
-    A_ii = A_np[:, loc_int[:, None], loc_int[None, :]]
-    A_is = A_np[:, loc_int[:, None], loc_skel[None, :]]
-    A_ss = A_np[:, loc_skel[:, None], loc_skel[None, :]]
-    A_ii_inv = np.linalg.inv(A_ii)
-    AinvAis = np.matmul(A_ii_inv, A_is)  # (ne, n_int, n_skel)
-    S_loc = A_ss - np.matmul(A_is.transpose(0, 2, 1), AinvAis)
+    dev_in = isinstance(A_np, jax.Array)
+    if dev_in:
+        # ``A_np`` is the FACE-MAJOR equilibrated table already on device
+        # (solvers/refinement.py round-4 device split): in that order the
+        # skeleton dofs lead and the interiors trail, so the whole interior
+        # Schur derivation is device slices + batched f32 LU/matmuls
+        assert fast, "device-table Schur requires the fast (face-block) path"
+        A_ii_inv, AinvAis, S_loc = _device_schur_fb(
+            A_np, 4 * (nfd_v + V.facet.n_face)
+        )
+    else:
+        A_ii = A_np[:, loc_int[:, None], loc_int[None, :]]
+        A_is = A_np[:, loc_int[:, None], loc_skel[None, :]]
+        A_ss = A_np[:, loc_skel[:, None], loc_skel[None, :]]
+        A_ii_inv = np.linalg.inv(A_ii)
+        AinvAis = np.matmul(A_ii_inv, A_is)  # (ne, n_int, n_skel)
+        S_loc = A_ss - np.matmul(A_is.transpose(0, 2, 1), AinvAis)
 
     free = jnp.asarray(V.free_mask)
     fmask = V.free_mask
@@ -354,7 +406,8 @@ def build_skeleton_preconditioner_3d(
     # whose nonlinear rounding noise floors the true residual of the outer
     # Bramble-Pasciak iteration near 1e-6.
     sdt = store_dtype or dtype
-    A_ii_inv_j = jnp.asarray(A_ii_inv, sdt)
+    if not fast:  # only the slow (dof-level) path applies this table
+        A_ii_inv_j = jnp.asarray(A_ii_inv, sdt)
 
     if fast:
         # scatter-free face-block formulation (ops/faceblock.py): every
@@ -520,22 +573,85 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
     ext_sdt = ext_sdt or sdt
     panel_sdt = panel_sdt or sdt
     inv_sdt = inv_sdt or sdt
-    S_perm_np = lay.permute_skel_blocks(S_loc)
-    AinvAis_perm_np = np.ascontiguousarray(AinvAis[:, :, lay.perm_skel])
+
+    # DEVICE-DERIVED tables (round 4, the setup-time lever): upload (or
+    # derive, see below) the f32 skeleton table ONCE and compute everything
+    # downstream of it — edge-star block inverses, GS residual row panels,
+    # the packed S stream, the extension transpose — on the TPU.  The host
+    # path shipped ~3 full-S equivalents of panels + ~1-2 GB of inverses
+    # through a tunnel whose host->device bandwidth varies 3-4x run to run
+    # (NOTES_r4.md section 3) and spent ~70 s of single-core numpy
+    # building them.  NSTPU_DEVICE_TABLES: "1" (default) = on when the
+    # default device is a TPU, "force" = on everywhere (parity tests),
+    # "0" = off.
+    #
+    # When ``S_loc``/``AinvAis``/``A_ii_inv`` arrive as DEVICE arrays
+    # (already face-major, from _device_schur_fb), nothing GB-scale ever
+    # crosses the tunnel in either direction: the master table never
+    # existed on the host.
+    from ..ops.pallas_mv import pallas_ok
+
+    dev_in = isinstance(S_loc, jax.Array)
+    _dtf = _os.environ.get("NSTPU_DEVICE_TABLES", "1")
+    _f32ish = {jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)}
+    use_dev = dev_in or (
+        _dtf != "0" and (_dtf == "force" or pallas_ok())
+        # the f32 master table can only feed storage dtypes <= f32 wide;
+        # f64-stored paths (the unequilibrated f64 model preconditioner)
+        # keep the host f64 derivation
+        and {jnp.dtype(sdt), jnp.dtype(ext_sdt), jnp.dtype(panel_sdt),
+             jnp.dtype(inv_sdt)} <= _f32ish
+    )
+    if dev_in:
+        S_perm_np = None  # never touched with S_dev set
+        S_dev = S_loc
+    else:
+        S_perm_np = lay.permute_skel_blocks(S_loc)
+        S_dev = jnp.asarray(S_perm_np.astype(np.float32)) if use_dev \
+            else None
+
     sm = face_star_smoother(lay, S_perm_np, np.asarray(fmask), sdt,
-                            compute_dtype=cdt)
+                            compute_dtype=cdt, S_dev=S_dev)
     _plog("edge-star smoother inverses")
     freeF = sm.freeF
     ne, n_int = lay.ne, lay.n_int
-    ext_apply = make_table_apply(AinvAis_perm_np, store_dtype=ext_sdt,
-                                 compute_dtype=cdt)
-    extT_apply = make_table_apply(
-        np.ascontiguousarray(AinvAis_perm_np.transpose(0, 2, 1)),
-        store_dtype=ext_sdt, compute_dtype=cdt,
-    )
-    inner_apply = make_table_apply(np.asarray(A_ii_inv),
-                                   store_dtype=ext_sdt,
-                                   compute_dtype=cdt)
+    if dev_in:
+        # device-derived extension: already face-major, cast in place
+        ext_dev = AinvAis.astype(ext_sdt)
+        ext_apply = make_table_apply(ext_dev, store_dtype=ext_sdt,
+                                     compute_dtype=cdt)
+        extT_apply = make_table_apply(jnp.swapaxes(ext_dev, 1, 2),
+                                      store_dtype=ext_sdt, compute_dtype=cdt)
+        inner_apply = make_table_apply(A_ii_inv.astype(ext_sdt),
+                                       store_dtype=ext_sdt, compute_dtype=cdt)
+    elif use_dev:
+        # ONE upload (host-cast to the storage dtype first — tunnel bytes,
+        # not device bytes, are the cost); the transpose table is a device
+        # derivation of it instead of a second full upload
+        import ml_dtypes as _mld
+
+        AinvAis_perm_np = np.ascontiguousarray(AinvAis[:, :, lay.perm_skel])
+        _np_ext = (np.float32 if jnp.dtype(ext_sdt) == jnp.dtype(jnp.float32)
+                   else _mld.bfloat16)
+        ext_dev = jnp.asarray(AinvAis_perm_np.astype(_np_ext))
+        ext_apply = make_table_apply(ext_dev, store_dtype=ext_sdt,
+                                     compute_dtype=cdt)
+        extT_apply = make_table_apply(jnp.swapaxes(ext_dev, 1, 2),
+                                      store_dtype=ext_sdt, compute_dtype=cdt)
+        inner_apply = make_table_apply(
+            jnp.asarray(np.asarray(A_ii_inv).astype(_np_ext)),
+            store_dtype=ext_sdt, compute_dtype=cdt)
+    else:
+        AinvAis_perm_np = np.ascontiguousarray(AinvAis[:, :, lay.perm_skel])
+        ext_apply = make_table_apply(AinvAis_perm_np, store_dtype=ext_sdt,
+                                     compute_dtype=cdt)
+        extT_apply = make_table_apply(
+            np.ascontiguousarray(AinvAis_perm_np.transpose(0, 2, 1)),
+            store_dtype=ext_sdt, compute_dtype=cdt,
+        )
+        inner_apply = make_table_apply(np.asarray(A_ii_inv),
+                                       store_dtype=ext_sdt,
+                                       compute_dtype=cdt)
 
     def ext_fb(yF, yi_ignored=None):
         """Interiors from skeleton values (face layout)."""
@@ -550,8 +666,9 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
     if gs:
         from ..precond.multicolor import color_blocks, damped_coarse
 
-        S_elem_apply = make_table_apply(S_perm_np, store_dtype=sdt,
-                                        compute_dtype=cdt)
+        S_elem_apply = make_table_apply(
+            S_dev if use_dev else S_perm_np, store_dtype=sdt,
+            compute_dtype=cdt)
 
         def S_faces(xF):
             """Skeleton operator purely in face layout (free-masked)."""

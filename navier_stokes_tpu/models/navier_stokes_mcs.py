@@ -34,6 +34,8 @@ velocity/pressure properties (:159-166).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -816,11 +818,49 @@ class NavierStokesMCS:
             # bench shapes vs 1.05 ms for the face-block one (VERDICT.md
             # round-2 weakness 1) — element blocks ship PERMUTED
             from ..ops.faceblock import FaceBlockLayout
+            from ..ops.pallas_mv import pallas_ok
 
             self.fb = FaceBlockLayout(self.Xv)
-            A_cond = jnp.asarray(
-                self.fb.permute_blocks(self.A_cond_np), dtype
-            )
+            _spl = _os.environ.get("NSTPU_SPLIT_UPLOAD", "1")
+            if (jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+                    and _spl != "0" and (_spl == "force" or pallas_ok())):
+                # SPLIT-f32 upload (round 4): the axon tunnel moves f32
+                # arrays ~10x faster per byte than f64 (798 vs 73 MB/s
+                # measured, NOTES_r4.md section 3), so the biggest upload
+                # of the whole build — the condensed f64 table — ships as
+                # an f32 (hi, lo) pair and is reconstructed AND face-major
+                # permuted on device: hi + lo == A to ~2^-48 relative,
+                # ~1e-14 — far below the 1e-8..1e-10 solve targets and two
+                # decades below the f32 splits derived from it.  Host side
+                # stays chunked (no GB-scale f64 temp on the 1-core box).
+                A_np = self.A_cond_np
+                hi = np.empty(A_np.shape, np.float32)
+                lo = np.empty(A_np.shape, np.float32)
+                step = max(1, int(2.5e8 / max(1, A_np[0].size * 8)))
+                for c0 in range(0, len(A_np), step):
+                    c1 = c0 + step
+                    hi[c0:c1] = A_np[c0:c1]
+                    lo[c0:c1] = A_np[c0:c1] - hi[c0:c1].astype(np.float64)
+                perm_j = jnp.asarray(self.fb.perm)
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def _recon(buf, hi_d, lo_d, p, i0):
+                    a = hi_d.astype(jnp.float64) + lo_d.astype(jnp.float64)
+                    a = a[:, p[:, None], p[None, :]]
+                    z = jnp.zeros((), i0.dtype)
+                    return jax.lax.dynamic_update_slice(buf, a, (i0, z, z))
+
+                hi_d, lo_d = jnp.asarray(hi), jnp.asarray(lo)
+                A_cond = jnp.zeros(A_np.shape, jnp.float64)
+                for c0 in range(0, len(A_np), step):
+                    c1 = min(len(A_np), c0 + step)
+                    A_cond = _recon(A_cond, hi_d[c0:c1], lo_d[c0:c1],
+                                    perm_j, jnp.asarray(c0, jnp.int32))
+                del hi_d, lo_d
+            else:
+                A_cond = jnp.asarray(
+                    self.fb.permute_blocks(self.A_cond_np), dtype
+                )
         else:
             self.fb = None
             A_cond = jnp.asarray(self.A_cond_np, dtype)

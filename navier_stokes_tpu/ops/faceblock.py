@@ -96,6 +96,10 @@ class FaceBlockLayout:
         pos = np.full((self.nface, 2), self.ne * 4, np.int64)
         pos[counts >= 1, 0] = order[starts[:-1][counts >= 1]]
         pos[counts >= 2, 1] = order[starts[:-1][counts >= 2] + 1]
+        # host copies kept: setup code must read these WITHOUT pulling the
+        # device copies back through the tunnel (d2h stalls unpredictably)
+        self.efaces_np = efaces
+        self.pos_np = pos
         self.efaces = jnp.asarray(efaces, jnp.int32)
         self.pos = jnp.asarray(pos, jnp.int32)
 
@@ -202,8 +206,31 @@ class FaceBlockLayout:
 
         return apply
 
+    def pack_elem_tables(self, mats_np, tile: int = 256):
+        """Upload tile-contiguous packed element tables ONCE for sharing
+        between :meth:`elem_apply_tiled` and :meth:`elem_apply_comp`.
+        These tables are the largest single uploads of the flagship setup
+        (ne*nb^2 f32 each) and the axon tunnel's host->device bandwidth is
+        the setup bottleneck — packing each apply its own copy doubled the
+        A-table bytes shipped.  Device-DERIVED inputs (the round-4
+        equilibrated split, solvers/refinement.py) are packed in place with
+        jnp ops — no tunnel traffic in either direction.  Returns a list of
+        (ntile, nb, nb, tile) device arrays (the common tile rides in the
+        shape)."""
+        import os
+
+        from .pallas_mv import pack_tiles, pack_tiles_dev
+
+        tile = int(os.environ.get("NSTPU_TILE", tile))
+        return [
+            pack_tiles_dev(A.astype(jnp.float32), tile)
+            if isinstance(A, jax.Array)
+            else jnp.asarray(pack_tiles(np.asarray(A, np.float32), tile))
+            for A in mats_np
+        ]
+
     def elem_apply_tiled(self, mats_np, tile: int = 256,
-                         interpret: bool = False):
+                         interpret: bool = False, prepacked=None):
         """y = (sum_k A_k) u like :meth:`elem_apply_multi`, but streaming
         TILE-CONTIGUOUS tables through the Pallas VPU kernel
         (ops/pallas_mv.py) when running on TPU — each grid step's table
@@ -221,23 +248,27 @@ class FaceBlockLayout:
         import os
 
         ne, nb = self.ne, self.nb
-        tile = int(os.environ.get("NSTPU_TILE", tile))
         split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
-        packed = [pack_tiles(np.asarray(A, np.float32), tile)
-                  for A in mats_np]
+        if prepacked is not None:
+            tabs = list(prepacked)
+            tile = tabs[0].shape[3]
+        else:
+            tile = int(os.environ.get("NSTPU_TILE", tile))
+            tabs = [jnp.asarray(pack_tiles(np.asarray(A, np.float32), tile))
+                    for A in mats_np]
         if split_k > 1:
             # K consecutive-tile sub-tables per matrix: K block DMAs in
             # flight per grid step (see pallas_mv._mv_kernel_splitk)
             from .pallas_mv import (
                 _call_mv2_splitk,
                 _call_mv_splitk,
-                _pack_splitk,
+                _pack_splitk_dev,
             )
 
             subs = []
-            for P in packed:
-                sub, ng = _pack_splitk(P, split_k)
-                subs.append([jnp.asarray(a) for a in sub])
+            for P in tabs:
+                sub, ng = _pack_splitk_dev(P, split_k)
+                subs.append(sub)
             ne_p = ng * split_k * tile
 
             def kernel_call(ueT):
@@ -249,8 +280,7 @@ class FaceBlockLayout:
                 return _call_mv_splitk(split_k, ueT, *subs[0],
                                        interpret=interpret)
         else:
-            tabs = [jnp.asarray(P) for P in packed]
-            ne_p = packed[0].shape[0] * tile
+            ne_p = tabs[0].shape[0] * tile
 
             def kernel_call(ueT):
                 if len(tabs) == 2:
@@ -271,7 +301,8 @@ class FaceBlockLayout:
         return apply
 
     def elem_apply_comp(self, A_hi_np, A_lo_np, tile: int = 128,
-                        interpret: bool = False, out_dtype=jnp.float64):
+                        interpret: bool = False, out_dtype=jnp.float64,
+                        prepacked=None):
         """COMPENSATED double-single apply: y (f64) = (A_hi + A_lo) u (f64)
         through the Pallas two_prod/two_sum kernel (ops/pallas_mv.py) —
         f32 streaming speed with ~2^-45-of-row-sum accuracy, immune to the
@@ -291,25 +322,32 @@ class FaceBlockLayout:
         import os
 
         ne, nb = self.ne, self.nb
-        tile = int(os.environ.get("NSTPU_TILE", tile))
         split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
-        Ah_p = pack_tiles(np.asarray(A_hi_np, np.float32), tile)
-        Al_p = pack_tiles(np.asarray(A_lo_np, np.float32), tile)
+        if prepacked is not None:
+            # shared device tables from pack_elem_tables — the phase-1
+            # split apply streams the identical hi/lo data, so the comp
+            # kernel must not ship its own copy through the tunnel
+            Ah_t, Al_t = prepacked
+            tile = Ah_t.shape[3]
+        else:
+            tile = int(os.environ.get("NSTPU_TILE", tile))
+            Ah_t = jnp.asarray(pack_tiles(np.asarray(A_hi_np, np.float32),
+                                          tile))
+            Al_t = jnp.asarray(pack_tiles(np.asarray(A_lo_np, np.float32),
+                                          tile))
         if split_k > 1:
-            from .pallas_mv import _call_mv_comp_splitk, _pack_splitk
+            from .pallas_mv import _call_mv_comp_splitk, _pack_splitk_dev
 
-            hs, ng = _pack_splitk(Ah_p, split_k)
-            ls, _ = _pack_splitk(Al_p, split_k)
-            subs = tuple(jnp.asarray(a) for a in hs + ls)
+            hs, ng = _pack_splitk_dev(Ah_t, split_k)
+            ls, _ = _pack_splitk_dev(Al_t, split_k)
+            subs = tuple(hs + ls)
             ne_p = ng * split_k * tile
 
             def comp_call(hi, lo):
                 return _call_mv_comp_splitk(split_k, hi, lo, *subs,
                                             interpret=interpret)
         else:
-            Ah_t = jnp.asarray(Ah_p)
-            Al_t = jnp.asarray(Al_p)
-            ne_p = Ah_p.shape[0] * tile
+            ne_p = Ah_t.shape[0] * tile
 
             def comp_call(hi, lo):
                 return tiled_bmv_comp(Ah_t, Al_t, hi, lo,
@@ -550,10 +588,9 @@ class FaceStarSmoother:
 
     def __init__(self, layout: FaceBlockLayout, S_fb_csr, edge_faces,
                  freeF: np.ndarray, dtype=jnp.float32,
-                 compute_dtype=None):
-        import scipy.sparse as sp
-
+                 compute_dtype=None, S_dev=None):
         nfb, nface = layout.nfb, layout.nface
+        ne = layout.ne
         self.layout = layout
         self.dtype = dtype
         self.compute_dtype = compute_dtype or dtype
@@ -561,15 +598,44 @@ class FaceStarSmoother:
 
         sizes = np.array([len(f) for f in edge_faces])
         self.buckets = []
-        self._bucket_inv_np: list[np.ndarray] = []
+        # per-bucket UNCAST inverses for color_row_groups' own storage cast:
+        # f64 numpy on the host path, f32 device arrays on the S_dev path
+        self._bucket_inv_np: list = []
         self._bucket_apply: list = []  # tiled/einsum per-bucket solves
         self.block_faces: list[np.ndarray] = []  # bucket order
+        # HOST copies of the per-bucket face index arrays: the setup paths
+        # (color grouping) must never np.asarray a device array — the axon
+        # tunnel's device->host direction stalls unpredictably (observed
+        # ~0-23 MB/s with multi-minute outliers, NOTES_r4.md)
+        self._faces_np: list[np.ndarray] = []
+        self.freeF_np = np.asarray(freeF)
         slot_base = 0
         # face -> (up to 3) slot positions in the concatenated result
         pos3 = np.full((nface, 3), -1, np.int64)
         cnt = np.zeros(nface, np.int32)
         order = np.argsort(sizes, kind="stable")
-        csr = sp.csr_matrix(S_fb_csr)
+        # DEVICE-side block assembly + inversion (round 4): with ``S_dev``
+        # — the face-major skeleton table already on device — the edge-star
+        # blocks are pure gathers from it, so neither the ~GB inverse
+        # tables nor the assembled blocks ever cross the host->device
+        # tunnel (the setup bottleneck, NOTES_r4.md section 3), and the
+        # per-block scipy CSR slicing (~25 s single-core at bench scale)
+        # disappears.  The inverses come out f32 (vs f64 on the host
+        # path): a ~1e-6-relative perturbation of a SMOOTHER block —
+        # measured iteration-neutral at bench scale.
+        self._S_dev = S_dev
+        if S_dev is not None:
+            csr = None
+            self._S5p = jnp.concatenate(
+                [S_dev.reshape(ne, 4, nfb, 4, nfb),
+                 jnp.zeros((1, 4, nfb, 4, nfb), S_dev.dtype)]
+            )
+            pos_np = layout.pos_np
+            freeF_dev = jnp.asarray(freeF)
+        else:
+            import scipy.sparse as sp
+
+            csr = sp.csr_matrix(S_fb_csr)
         freeF_flat = freeF.ravel()
         for fsz in np.unique(sizes):
             sel = order[sizes[order] == fsz]
@@ -578,14 +644,18 @@ class FaceStarSmoother:
             dof_idx = (
                 faces_b[:, :, None] * nfb + np.arange(nfb)[None, None, :]
             ).reshape(len(sel), bdim)
-            mats = np.empty((len(sel), bdim, bdim))
-            for b in range(len(sel)):
-                mats[b] = csr[np.ix_(dof_idx[b], dof_idx[b])].toarray()
-                fm = freeF_flat[dof_idx[b]]
-                mats[b][~fm, :] = 0.0
-                mats[b][:, ~fm] = 0.0
-                mats[b][np.where(~fm)[0], np.where(~fm)[0]] = 1.0
-            inv = np.linalg.inv(mats)
+            if S_dev is not None:
+                inv = self._device_bucket_inverses(
+                    faces_b, pos_np, freeF_dev, nfb)
+            else:
+                mats = np.empty((len(sel), bdim, bdim))
+                for b in range(len(sel)):
+                    mats[b] = csr[np.ix_(dof_idx[b], dof_idx[b])].toarray()
+                    fm = freeF_flat[dof_idx[b]]
+                    mats[b][~fm, :] = 0.0
+                    mats[b][:, ~fm] = 0.0
+                    mats[b][np.where(~fm)[0], np.where(~fm)[0]] = 1.0
+                inv = np.linalg.inv(mats)
             # record slot positions
             for b, i in enumerate(sel):
                 for k, f in enumerate(edge_faces[i]):
@@ -594,10 +664,13 @@ class FaceStarSmoother:
             from .pallas_mv import make_table_apply
 
             self.buckets.append(
-                (jnp.asarray(faces_b, jnp.int32), jnp.asarray(inv, dtype),
+                (jnp.asarray(faces_b, jnp.int32),
+                 inv.astype(dtype) if S_dev is not None
+                 else jnp.asarray(inv, dtype),
                  np.asarray(sel))
             )
             self._bucket_inv_np.append(inv)
+            self._faces_np.append(faces_b)
             self._bucket_apply.append(
                 make_table_apply(inv, store_dtype=dtype,
                                  compute_dtype=self.compute_dtype)
@@ -610,6 +683,80 @@ class FaceStarSmoother:
         self.pos3 = jnp.asarray(pos3, jnp.int32)
         self.freeF = jnp.asarray(freeF)
         self.sizes = sizes
+
+    def _device_bucket_inverses(self, faces_b, pos_np, freeF_dev, nfb):
+        """Assemble one bucket's edge-star blocks from the on-device
+        skeleton table and invert them there (batched f32 LU).
+
+        Entries of the assembled face-level S: the (face_i, face_j) block
+        sums S_perm[e] sub-blocks over elements adjacent to BOTH faces —
+        for faces of one edge-star that is up to 2 shared elements on the
+        diagonal (the face's own neighbours) and exactly one off the
+        diagonal (two distinct tets cannot share two faces), so the block
+        is TWO batched gather passes from S5p with host-precomputed index
+        plans (topology only, no matrix data)."""
+        ne = self.layout.ne
+        nb_b, fsz = faces_b.shape
+        bdim = fsz * nfb
+        p2 = pos_np[faces_b]  # (nb_b, fsz, 2): elem*4+lf, pad ne*4
+        el = p2 // 4
+        lf = p2 % 4
+        ar = np.arange(fsz)
+        E = np.full((2, nb_b, fsz, fsz), ne, np.int64)
+        LI = np.zeros((2, nb_b, fsz, fsz), np.int64)
+        LJ = np.zeros((2, nb_b, fsz, fsz), np.int64)
+        for s in (0, 1):  # diagonal: both adjacent elements
+            # scalar + slice + index arrays: numpy puts the (fsz, nb_b)
+            # index dims FIRST, hence the transposes
+            E[s, :, ar, ar] = el[:, :, s].T
+            LI[s, :, ar, ar] = lf[:, :, s].T
+            LJ[s, :, ar, ar] = lf[:, :, s].T
+        # off-diagonal: the one element shared by faces i and j (pass 0)
+        eli = el[:, :, None, :, None]
+        elj = el[:, None, :, None, :]
+        diag = np.eye(fsz, dtype=bool)[None, :, :, None, None]
+        m4 = (eli == elj) & (eli != ne) & ~diag
+        lfi = lf[:, :, None, :, None]
+        lfj = lf[:, None, :, None, :]
+        e_off = (m4 * (eli + 1)).sum((3, 4)) - 1
+        li_off = (m4 * (lfi + 1)).sum((3, 4)) - 1
+        lj_off = (m4 * (lfj + 1)).sum((3, 4)) - 1
+        off = e_off >= 0
+        E[0] = np.where(off, e_off, E[0])
+        LI[0] = np.where(off, li_off, LI[0])
+        LJ[0] = np.where(off, lj_off, LJ[0])
+
+        fmask = freeF_dev[jnp.asarray(faces_b, jnp.int32)].reshape(
+            nb_b, bdim)
+
+        # S5p rides as an ARGUMENT: a closure capture would embed the
+        # GB-scale table as a constant in the remote-compile payload (the
+        # failure mode that killed the transient compile, NOTES_r4.md)
+        def chunk_inv(S5p, Ej, LIj, LJj, fm):
+            blk = (S5p[Ej[0], LIj[0], :, LJj[0], :]
+                   + S5p[Ej[1], LIj[1], :, LJj[1], :])
+            blk = blk.transpose(0, 1, 3, 2, 4).reshape(-1, bdim, bdim)
+            fmf = fm.astype(blk.dtype)
+            blk = blk * (fmf[:, :, None] * fmf[:, None, :])
+            blk = blk + jnp.eye(bdim, dtype=blk.dtype)[None] * (
+                1.0 - fmf)[:, None, :]
+            return jnp.linalg.inv(blk)
+
+        chunk_inv = jax.jit(chunk_inv)
+        # chunk the gather intermediates (2 x (chunk, fsz, fsz, nfb, nfb))
+        # to ~0.5 GB so HBM holds them next to the resident tables
+        chunk = max(1, int(2.5e8 / max(1, fsz * fsz * nfb * nfb * 4)))
+        outs = []
+        Ej_all = jnp.asarray(E, jnp.int32)
+        LIj_all = jnp.asarray(LI, jnp.int32)
+        LJj_all = jnp.asarray(LJ, jnp.int32)
+        for c0 in range(0, nb_b, chunk):
+            c1 = min(nb_b, c0 + chunk)
+            outs.append(chunk_inv(
+                self._S5p, Ej_all[:, c0:c1], LIj_all[:, c0:c1],
+                LJj_all[:, c0:c1], fmask[c0:c1],
+            ))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     def _bucket_solve(self, xF, faces_b, inv):
         nfb = self.layout.nfb
@@ -655,19 +802,20 @@ class FaceStarSmoother:
         groups = []
         base = 0
         bucket_meta = []
-        for faces_b, inv, sel in self.buckets:
+        for (faces_b, inv, sel), faces_np in zip(self.buckets,
+                                                 self._faces_np):
             nb_b = faces_b.shape[0]
-            bucket_meta.append((faces_b, inv, base, nb_b))
+            bucket_meta.append((faces_np, inv, base, nb_b))
             base += nb_b
         for c in range(ncolors):
             parts = []
             pos1 = np.full(nface, -1, np.int64)
             slot_base = 0
-            for faces_b, inv, b0, nb_b in bucket_meta:
+            for faces_np, inv, b0, nb_b in bucket_meta:
                 keep = np.where(colors[b0: b0 + nb_b] == c)[0]
                 if not len(keep):
                     continue
-                fb_np = np.asarray(faces_b)[keep]
+                fb_np = faces_np[keep]
                 fsz = fb_np.shape[1]
                 for b, row in enumerate(fb_np):
                     for k, f in enumerate(row):
@@ -696,6 +844,149 @@ class FaceStarSmoother:
         return jnp.where(self.freeF, slots[pos1], 0.0)
 
     # -- row-panel GS: fresh per-color residual without full S applies ---
+
+    def _color_row_groups_device(self, colors: np.ndarray, sdt, inv_sdt):
+        """:meth:`color_row_groups` with EVERY table derived on device by
+        ONE builder program (round 4).
+
+        The per-table construction path (a gather + cast + pack chain per
+        color and per color x bucket inverse table) dispatched ~700 small
+        device calls at bench scale; each call pays an axon-tunnel round
+        trip, and the tunnel's latency swings made the phase take 23 s to
+        774 s run to run on identical code (NOTES_r4).  Batching the whole
+        derivation — residual row panels gathered from the on-device
+        skeleton table, per-color edge-star inverse tables gathered from
+        the bucket inverses, storage casts, and tile packing for the
+        tables the Pallas kernel will stream — into one jitted program
+        (tables as ARGUMENTS, tiny index plans as constants) makes the
+        phase one compile + one execution, immune to per-call latency.
+        """
+        import os as _os
+
+        from .pallas_mv import make_table_apply, pack_tiles_dev, pallas_ok
+
+        inv_sdt = inv_sdt or sdt
+        lay = self.layout
+        nfb, nface, ne = lay.nfb, lay.nface, lay.ne
+        n_skel = lay.n_skel
+        efaces = lay.efaces_np
+        pos = lay.pos_np
+        freeF_np = self.freeF_np
+
+        tile = int(_os.environ.get("NSTPU_TILE", "256"))
+        split_k = int(_os.environ.get("NSTPU_SPLITK", "1"))
+        # mirror make_table_apply's pallas gate; the builder must pack
+        # exactly the tables the apply will stream tile-contiguously
+        use_pallas = (
+            pallas_ok() and _os.environ.get("NSTPU_PALLAS", "1") != "0"
+            and split_k == 1
+            and jnp.dtype(self.compute_dtype) == jnp.dtype(jnp.float32)
+        )
+        min_blocks = 256
+
+        # host metadata pass: per color — member faces, adjacency, result
+        # slot map, per-bucket solve slices (index plans only, no matrix
+        # data)
+        ncolors = int(np.max(colors)) + 1
+        bucket_meta = []
+        base = 0
+        for faces_np in self._faces_np:
+            bucket_meta.append((faces_np, base))
+            base += faces_np.shape[0]
+        meta = []
+        for c in range(ncolors):
+            faces_list = []
+            parts_meta = []  # (ofs, nkeep, fsz, bucket_idx, keep)
+            pos1 = np.full(nface, -1, np.int64)
+            ofs = 0
+            for bi, (faces_np, b0) in enumerate(bucket_meta):
+                nb_b = faces_np.shape[0]
+                keep = np.where(colors[b0: b0 + nb_b] == c)[0]
+                if not len(keep):
+                    continue
+                fb = faces_np[keep]
+                fsz = fb.shape[1]
+                flat = fb.ravel()
+                pos1[flat] = ofs + np.arange(len(flat))
+                faces_list.append(flat)
+                parts_meta.append((ofs, len(keep), fsz, bi, keep))
+                ofs += len(flat)
+            faces_c = np.concatenate(faces_list)
+            nsel = len(faces_c)
+            assert len(np.unique(faces_c)) == nsel, \
+                "same-color blocks share a face"
+            pos1 = np.where(pos1 < 0, nsel, pos1)
+            p2 = pos[faces_c]  # (nsel, 2) elem*4+lf, pad ne*4
+            el2 = p2 // 4
+            lf2 = p2 % 4
+            meta.append((faces_c, el2, lf2, pos1, parts_meta))
+
+        colm_np = np.concatenate([
+            freeF_np[efaces].reshape(ne, n_skel),
+            np.zeros((1, n_skel), bool),
+        ])
+        panel_pallas = [use_pallas and len(m_[0]) >= min_blocks
+                        for m_ in meta]
+        efaces_pad_np = np.concatenate(
+            [efaces, np.full((1, 4), nface, np.int64)])
+
+        def build_all(S5p, colm, freeF, *bucket_invs):
+            out = []
+            for (faces_c, el2, lf2, pos1, parts_meta), pp in zip(
+                    meta, panel_pallas):
+                nsel = len(faces_c)
+                el2j = jnp.asarray(np.where(el2 < ne, el2, ne), jnp.int32)
+                lf2j = jnp.asarray(lf2, jnp.int32)
+                fcj = jnp.asarray(faces_c, jnp.int32)
+                pans = []
+                for s in range(2):
+                    pan = S5p[el2j[:, s], lf2j[:, s]].reshape(
+                        nsel, nfb, n_skel)
+                    pan = pan * colm[el2j[:, s]][:, None, :].astype(
+                        pan.dtype)
+                    pans.append(pan)
+                P2 = (jnp.stack(pans, axis=2).reshape(nsel, nfb, 2 * n_skel)
+                      * freeF[fcj][:, :, None].astype(pans[0].dtype)
+                      ).astype(sdt)
+                if pp:
+                    P2 = pack_tiles_dev(P2, tile)
+                ptabs = []
+                for (_ofs, nkeep, _fsz, bi, keep) in parts_meta:
+                    t = bucket_invs[bi][jnp.asarray(keep, jnp.int32)
+                                        ].astype(inv_sdt)
+                    if use_pallas and nkeep >= min_blocks:
+                        t = pack_tiles_dev(t, tile)
+                    ptabs.append(t)
+                out.append((fcj, el2j, P2, tuple(ptabs),
+                            jnp.asarray(pos1, jnp.int32)))
+            return tuple(out), jnp.asarray(efaces_pad_np, jnp.int32)
+
+        built, self._efaces_pad = jax.jit(build_all)(
+            self._S5p, jnp.asarray(colm_np), self.freeF,
+            *self._bucket_inv_np)
+
+        groups = []
+        for (faces_c, el2, lf2, pos1, parts_meta), pp, \
+                (fcj, el2j, P2, ptabs, pos1_j) in zip(
+                meta, panel_pallas, built):
+            nsel = len(faces_c)
+            if pp:
+                P_apply = make_table_apply(P2, prepacked_nblk=nsel)
+            else:
+                P_apply = make_table_apply(
+                    P2, store_dtype=sdt, compute_dtype=self.compute_dtype)
+            parts = []
+            for (ofs, nkeep, fsz, _bi, _keep), tab in zip(parts_meta,
+                                                          ptabs):
+                if use_pallas and nkeep >= min_blocks:
+                    solve = make_table_apply(tab, prepacked_nblk=nkeep)
+                else:
+                    solve = make_table_apply(
+                        tab, store_dtype=inv_sdt,
+                        compute_dtype=self.compute_dtype)
+                parts.append((ofs, nkeep, fsz, solve))
+            groups.append((fcj, el2j, P_apply, parts, pos1_j))
+        return groups
 
     def color_row_groups(self, colors: np.ndarray, S_perm_np: np.ndarray,
                          sdt=jnp.float32, inv_sdt=None):
@@ -728,12 +1019,18 @@ class FaceStarSmoother:
         residual operator; bf16 inverses perturb the solves themselves).
         Returns groups for :meth:`solve_color_rows`.
         """
+        if self._S_dev is not None:
+            # device table derivation, ONE builder program for every color
+            # (round 4) — see _color_row_groups_device
+            return self._color_row_groups_device(colors, sdt, inv_sdt)
         lay = self.layout
         nfb, nface, ne = lay.nfb, lay.nface, lay.ne
         n_skel = lay.n_skel
-        efaces = np.asarray(lay.efaces)
-        pos = np.asarray(lay.pos)  # face -> <=2 (elem*4+lf), pad ne*4
-        freeF_np = np.asarray(self.freeF)
+        # host topology copies only — never np.asarray a device array in
+        # setup code (the tunnel's d2h direction stalls unpredictably)
+        efaces = lay.efaces_np
+        pos = lay.pos_np  # face -> <=2 (elem*4+lf), pad ne*4
+        freeF_np = self.freeF_np
         # element-skeleton column mask: free dofs of e's 4 faces
         colmask = freeF_np[efaces].reshape(ne, n_skel)
         self._efaces_pad = jnp.asarray(
@@ -746,10 +1043,9 @@ class FaceStarSmoother:
         ncolors = int(np.max(colors)) + 1
         base = 0
         bucket_meta = []
-        for (faces_b, _inv, _sel), inv_np in zip(self.buckets,
-                                                 self._bucket_inv_np):
-            nb_b = faces_b.shape[0]
-            bucket_meta.append((np.asarray(faces_b), inv_np, base, nb_b))
+        for faces_np, inv_np in zip(self._faces_np, self._bucket_inv_np):
+            nb_b = faces_np.shape[0]
+            bucket_meta.append((faces_np, inv_np, base, nb_b))
             base += nb_b
         groups = []
         for c in range(ncolors):
@@ -788,12 +1084,13 @@ class FaceStarSmoother:
                 rows = lr[:, None] * nfb + np.arange(nfb)[None, :]
                 pan = S_perm_np[er[:, None, None], rows[:, :, None],
                                 np.arange(n_skel)[None, None, :]]
-                # mask columns (free dofs of the adjacent element) and rows
+                # mask columns (free dofs of the adjacent element)
+                # and rows
                 pan = pan * colmask[er][:, None, :]
                 pan = pan * freeF_np[faces_c[real]][:, :, None]
                 P[real, s] = pan
-            # both adjacent-element panels as ONE (nfb, 2*n_skel) block:
-            # a single tiled stream per color
+            # both adjacent-element panels as ONE (nfb, 2*n_skel)
+            # block: a single tiled stream per color
             P2 = np.ascontiguousarray(
                 P.transpose(0, 2, 1, 3).reshape(nsel, nfb, 2 * n_skel)
             )
@@ -835,23 +1132,28 @@ class FaceStarSmoother:
 
 def face_star_smoother(layout: FaceBlockLayout, S_skel_perm: np.ndarray,
                        free_mask: np.ndarray, dtype=jnp.float32,
-                       compute_dtype=None):
+                       compute_dtype=None, S_dev=None):
     """Build a FaceStarSmoother from face-major skeleton element blocks.
 
     ``S_skel_perm``: (ne, 4nfb, 4nfb) numpy, face-major order.
-    ``free_mask``: (n,) full-space free mask.
+    ``free_mask``: (n,) full-space free mask.  With ``S_dev`` (the same
+    table already on device, f32) the global CSR is never assembled: the
+    edge-star blocks are gathered and inverted ON DEVICE (round 4).
     """
-    import scipy.sparse as sp
-
     lay = layout
-    ed = lay.eldofs_fb
-    ne, nb = ed.shape
-    rows = np.repeat(ed[:, :, None], nb, axis=2).ravel()
-    cols = np.repeat(ed[:, None, :], nb, axis=1).ravel()
-    S_csr = sp.coo_matrix(
-        (S_skel_perm.ravel(), (rows, cols)),
-        shape=(lay.nface * lay.nfb, lay.nface * lay.nfb),
-    ).tocsr()
+    if S_dev is None:
+        import scipy.sparse as sp
+
+        ed = lay.eldofs_fb
+        ne, nb = ed.shape
+        rows = np.repeat(ed[:, :, None], nb, axis=2).ravel()
+        cols = np.repeat(ed[:, None, :], nb, axis=1).ravel()
+        S_csr = sp.coo_matrix(
+            (S_skel_perm.ravel(), (rows, cols)),
+            shape=(lay.nface * lay.nfb, lay.nface * lay.nfb),
+        ).tocsr()
+    else:
+        S_csr = None
 
     edge_faces = _edge_star_faces(lay.mesh)
     free = np.asarray(free_mask)
@@ -863,7 +1165,7 @@ def face_star_smoother(layout: FaceBlockLayout, S_skel_perm: np.ndarray,
         axis=1,
     )
     return FaceStarSmoother(lay, S_csr, edge_faces, freeF, dtype,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, S_dev=S_dev)
 
 
 def _edge_star_faces(mesh) -> list[np.ndarray]:

@@ -76,6 +76,33 @@ def pack_tiles(A_np: np.ndarray, tile: int) -> np.ndarray:
     )
 
 
+def pack_tiles_dev(A, tile: int):
+    """Device-side :func:`pack_tiles`: same layout transform as jnp ops.
+    Used when the table was DERIVED on device (setup-time gathers from an
+    already-uploaded parent table, models/auxspace3d.py round 4) — pulling
+    it to host to pack would ship GBs through the tunnel's ~0-23 MB/s
+    device->host direction."""
+    nblk, m, nb = A.shape
+    ntile = -(-nblk // tile)
+    pad = ntile * tile - nblk
+    if pad:
+        A = jnp.concatenate([A, jnp.zeros((pad, m, nb), A.dtype)])
+    return A.reshape(ntile, tile, m, nb).transpose(0, 2, 3, 1)
+
+
+def _pack_splitk_dev(A_t, k: int):
+    """Device-side :func:`_pack_splitk` for already-uploaded packed
+    tables (sharing them across kernels must not round-trip the host)."""
+    ntile, m, nb, tile = A_t.shape
+    ng = -(-ntile // k)
+    if ng * k != ntile:
+        A_t = jnp.concatenate(
+            [A_t, jnp.zeros((ng * k - ntile, m, nb, tile), A_t.dtype)]
+        )
+    grp = A_t.reshape(ng, k, m, nb, tile)
+    return [grp[:, j] for j in range(k)], ng
+
+
 def _bmv(a, x):
     # y[i, e] = sum_j a[i, j, e] * x[j, e].  Mosaic cannot lower a batched
     # dot_general (the element axis e is a batch dim), so this is an
@@ -433,7 +460,8 @@ def _call_mv_comp_splitk(k, x_hi, x_lo, *A_subs, interpret=False):
 def make_table_apply(A_np: np.ndarray, tile: int = 256,
                      interpret: bool = False, store_dtype=None,
                      min_pallas_blocks: int = 256,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32,
+                     prepacked_nblk: int | None = None):
     """Generic batched block matvec: fn (nblk, k) f32 -> (nblk, m) f32 for
     (nblk, m, k) numpy tables.
 
@@ -444,12 +472,37 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
     batches where the tile padding would dominate (< ``min_pallas_blocks``),
     it falls back to the plain einsum.  ``store_dtype`` (e.g. bfloat16)
     halves the table stream; arithmetic stays f32 (the kernel casts
-    in-register, the einsum path promotes)."""
+    in-register, the einsum path promotes).
+
+    ``prepacked_nblk``: when given, ``A_np`` is an ALREADY PACKED device
+    table (ntile, m, k, tile) holding ``prepacked_nblk`` real blocks —
+    produced in bulk by a setup-time builder program (one device call for
+    ALL tables, ops/faceblock.py round 4) so that table construction never
+    pays per-table tunnel round trips.  No packing, casting, or env
+    inspection happens here.
+    """
     import os
+
+    if prepacked_nblk is not None:
+        ntile_p, m, k, tile_p = A_np.shape
+        nblk = int(prepacked_nblk)
+        pad = ntile_p * tile_p - nblk
+
+        def apply(x):
+            xT = jnp.concatenate([x, jnp.zeros((pad, k), x.dtype)]).T
+            yT = _call_mv(A_np, xT, interpret=interpret)
+            return yT.T[:nblk]
+
+        return apply
 
     tile = int(os.environ.get("NSTPU_TILE", tile))
     nblk, m, k = A_np.shape
     sdt = jnp.dtype(store_dtype or jnp.float32)
+    # device-DERIVED tables (setup-time gathers from an uploaded parent,
+    # models/auxspace3d.py round 4) are packed with jnp ops in place —
+    # np.asarray on them would pull GBs back through the tunnel's
+    # ~0-23 MB/s device->host direction
+    on_device = isinstance(A_np, jax.Array)
     # the kernel is f32-native (f32 accumulate, bf16 or f32 table stream);
     # f64-stored tables AND f64 vector arithmetic (the model's own f64
     # path, where f32-stored tables applied in f64 arithmetic stay a fixed
@@ -463,7 +516,8 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
     if not use_pallas:
         # cast DIRECTLY from the source dtype (an f32 detour would corrupt
         # f64-stored tables)
-        A_j = jnp.asarray(np.asarray(A_np)).astype(sdt)
+        A_j = (A_np if on_device else jnp.asarray(np.asarray(A_np))
+               ).astype(sdt)
 
         def apply(x):
             return jnp.einsum("bmk,bk->bm", A_j, x)
@@ -471,10 +525,26 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
         return apply
 
     split_k = int(os.environ.get("NSTPU_SPLITK", "1"))
-    A_packed = pack_tiles(np.asarray(A_np), tile)
+    if on_device:
+        A_packed = pack_tiles_dev(A_np.astype(sdt), tile)
+    else:
+        # cast to the STORAGE dtype on the host before the upload: the
+        # tunnel bills by the byte, and uploading f64 to cast on device
+        # ships 2-4x the data (same single f64->sdt rounding either way)
+        import ml_dtypes
+
+        _np_sdt = {jnp.dtype(jnp.float32): np.float32,
+                   jnp.dtype(jnp.bfloat16): ml_dtypes.bfloat16}.get(sdt)
+        A_packed = pack_tiles(np.asarray(A_np), tile)
+        if _np_sdt is not None and A_packed.dtype != _np_sdt:
+            A_packed = A_packed.astype(_np_sdt)
     if split_k > 1:
-        subs_np, ng = _pack_splitk(A_packed, split_k)
-        subs = tuple(jnp.asarray(a).astype(sdt) for a in subs_np)
+        if on_device:
+            subs_l, ng = _pack_splitk_dev(A_packed, split_k)
+            subs = tuple(subs_l)
+        else:
+            subs_np, ng = _pack_splitk(A_packed, split_k)
+            subs = tuple(jnp.asarray(a).astype(sdt) for a in subs_np)
         pad = ng * split_k * tile - nblk
 
         def apply(x):
@@ -486,7 +556,7 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
 
     ntile = A_packed.shape[0]
     pad = ntile * tile - nblk
-    A_t = jnp.asarray(A_packed).astype(sdt)
+    A_t = A_packed if on_device else jnp.asarray(A_packed).astype(sdt)
 
     def apply(x):
         xT = jnp.concatenate(

@@ -90,10 +90,21 @@ def coarse_p1_solver(
     """
     mesh = space.mesh
     coarse = H1(mesh, 1, dirichlet=space.dirichlet_names)
-    tc = asm.make_tables(coarse, 2, dtype)
-    Kc = asm.assemble_csr(
-        np.asarray(asm.stiffness_local(tc)), coarse.element_dofs, coarse.ndof
-    ) * coefficient
+    # HOST assembly of the tiny P1 stiffness (nb = dim+1): the previous
+    # route built it on device (stiffness_local) and np.asarray'd it back,
+    # crossing the tunnel's d2h direction — which stalls unpredictably
+    # (~0-23 MB/s with multi-minute outliers, NOTES_r4.md).  Same einsum,
+    # pure numpy, affine jacobians (the coarse space is always straight).
+    from ..fem.quadrature import simplex_rule
+
+    rule = simplex_rule(mesh.dim, 2)
+    _, grads = coarse.basis.tabulate(rule.points)
+    J, detJ, Jinv = mesh.element_jacobians
+    g = np.einsum("eba,qib->eqia", Jinv, grads)
+    K_loc = np.einsum("q,eqia,eqja,e->eij", rule.weights, g, g, detJ,
+                      optimize=True)
+    Kc = asm.assemble_csr(K_loc, coarse.element_dofs, coarse.ndof) \
+        * coefficient
     free_mask = coarse.free_mask
     free = np.where(free_mask)[0]
     nv = coarse.ndof

@@ -98,6 +98,63 @@ def mixed_precision_saddle_solve(
     return x, r, steps, inner_total
 
 
+def _equilibrated_split_device(A64p, De_fb_np, chunk_bytes: float = 5e8):
+    """Jacobi-equilibrated hi/lo f32 split of the face-major condensed
+    table, derived ON DEVICE from the model's already-uploaded f64 table
+    (round 4).
+
+    The host path made 4-5 full numpy passes over the GB-scale table
+    (equilibrate, permute, two casts) — ~195 s on the contended 1-core
+    bench host — and then shipped both f32 products through the tunnel.
+    Here the only upload is the (ne, nb) scale table (~12 MB); the f64
+    elementwise work runs chunked on device (emulated f64 on TPU, but
+    HBM-bandwidth-bound one-time setup).  Buffer donation keeps the peak
+    at one extra f64 chunk + the two f32 outputs.
+
+    Returns (A_hi, A_lo): f32 device arrays, face-major, with
+    hi + lo == D A D to ~2^-48 relative.
+    """
+    import os as _os2
+    import sys as _sys2
+    import time as _time2
+    from functools import partial
+
+    _t0 = _time2.perf_counter()
+
+    def _plog(msg):
+        if _os2.environ.get("NSTPU_SETUP_LOG"):
+            print(f"      [split] {msg} {_time2.perf_counter() - _t0:.1f}s",
+                  file=_sys2.stderr, flush=True)
+
+    ne, nb, _ = A64p.shape
+    De_dev = jnp.asarray(De_fb_np, jnp.float64)
+    _plog("De upload")
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def write(hi_buf, lo_buf, Ac, Dc, i0):
+        Asp = Ac * Dc[:, :, None] * Dc[:, None, :]
+        hi = Asp.astype(jnp.float32)
+        lo = (Asp - hi.astype(jnp.float64)).astype(jnp.float32)
+        z = jnp.zeros((), i0.dtype)
+        return (
+            jax.lax.dynamic_update_slice(hi_buf, hi, (i0, z, z)),
+            jax.lax.dynamic_update_slice(lo_buf, lo, (i0, z, z)),
+        )
+
+    chunk = max(1, int(chunk_bytes / max(1, nb * nb * 8)))
+    hi = jnp.zeros((ne, nb, nb), jnp.float32)
+    lo = jnp.zeros((ne, nb, nb), jnp.float32)
+    A64p = jnp.asarray(A64p, jnp.float64)
+    for c0 in range(0, ne, chunk):
+        c1 = min(ne, c0 + chunk)
+        hi, lo = write(hi, lo, A64p[c0:c1], De_dev[c0:c1],
+                       jnp.asarray(c0, jnp.int32))
+        _plog(f"chunk {c0}:{c1}")
+    jax.block_until_ready(hi)
+    _plog("split done")
+    return hi, lo
+
+
 def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
                          with_ds: bool = False):
     """Jacobi-equilibrated float32 operator bundle for a 3D MCS model.
@@ -134,36 +191,74 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
     A_loc = m.A_cond_np
     eldofs = np.asarray(m.Xv.element_dofs)
     d = np.zeros(m.n)
+    # reads only the DIAGONAL of the host table (a strided view, ~nb/ne-th
+    # of the bytes) — cheap even on the contended 1-core host
     np.add.at(d, eldofs.ravel(), np.einsum("eii->ei", A_loc).ravel())
-    free = np.asarray(m.free)
+    # host free mask — np.asarray(m.free) would pull the device copy back
+    # through the tunnel's d2h direction, which stalls unpredictably
+    free = np.asarray(m.Xv.free_mask)
     D = np.ones(m.n)
     D[free] = 1.0 / np.sqrt(np.maximum(np.abs(d[free]), 1e-300))
     De = D[eldofs]
-    A_s = A_loc * De[:, :, None] * De[:, None, :]
 
     f32 = jnp.float32
     free_j = jnp.asarray(free)
     n, nQ = m.n, m.Q.ndof
     ops_ds = None
 
+    # DEVICE-DERIVED operator tables (round 4): equilibrate and hi/lo-split
+    # the model's ALREADY-UPLOADED f64 face-major table on device instead
+    # of making 4-5 host passes over the GB-scale numpy table (measured
+    # ~195 s on the contended 1-core bench host) and shipping the products
+    # back up through the tunnel.  Gate mirrors auxspace3d (the skeleton
+    # Schur is derived on device from the same split, see
+    # _build_skeleton_fast): NSTPU_DEVICE_TABLES 1 (TPU default)/force/0.
+    from ..ops.pallas_mv import pallas_ok
+
+    _dtf = _os.environ.get("NSTPU_DEVICE_TABLES", "1")
+    dev_split = (
+        getattr(m, "fb", None) is not None
+        and getattr(m, "_A_cond", None) is not None
+        # the lo part of the split is real only off an f64 master table
+        and jnp.dtype(m._A_cond.dtype) == jnp.dtype(jnp.float64)
+        and _dtf != "0" and (_dtf == "force" or pallas_ok())
+    )
+    A_s = None
+    if not dev_split:
+        A_s = A_loc * De[:, :, None] * De[:, None, :]
+        _plog("host equilibration")
+
     if getattr(m, "fb", None) is not None:
         # scatter-free face-block applies (ops/faceblock.py); the split
         # (compensated) variant shares ONE gather/scatter round trip across
         # the hi/lo matvecs
         lay = m.fb
-        A_sp = lay.permute_blocks(A_s)
-        A_hi_np = A_sp.astype(np.float32)
-        A_lo_np = (A_sp - A_hi_np.astype(np.float64)).astype(np.float32)
-        A_hi = jnp.asarray(A_hi_np)
-        A_lo = jnp.asarray(A_lo_np)
-        _plog("A split tables built")
-        mats_np = [A_hi_np] + ([A_lo_np] if split else [])
-        if _os.environ.get("NSTPU_PALLAS", "1") != "0":
-            # tile-contiguous Pallas stream on TPU, einsum elsewhere
-            _A32 = lay.elem_apply_tiled(mats_np)
+        if dev_split:
+            A_hi_np, A_lo_np = _equilibrated_split_device(
+                m._A_cond, np.ascontiguousarray(De[:, lay.perm]))
+            _plog("device equilibrated split")
         else:
-            _A32 = lay.elem_apply_multi([(A, None) for A in
-                                         (A_hi, A_lo)[: len(mats_np)]])
+            A_sp = lay.permute_blocks(A_s)
+            _plog("A permute")
+            A_hi_np = A_sp.astype(np.float32)
+            A_lo_np = (A_sp - A_hi_np.astype(np.float64)).astype(np.float32)
+            _plog("A split tables built")
+        mats_np = [A_hi_np] + ([A_lo_np] if split else [])
+        # ONE device copy of the packed hi/lo tables serves BOTH the
+        # phase-1 split apply and the phase-2 compensated kernel — these
+        # are the two largest uploads of the whole setup (2 x ne*nb^2 f32
+        # each; the tunnel's host->device bandwidth is the setup
+        # bottleneck, NOTES_r4.md section 3), and the flat A_hi/A_lo
+        # device copies the einsum fallback needs are never touched on
+        # the Pallas path.
+        if _os.environ.get("NSTPU_PALLAS", "1") != "0" and pallas_ok():
+            shared = lay.pack_elem_tables(mats_np + ([A_lo_np] if (
+                with_ds and not split) else []))
+            _A32 = lay.elem_apply_tiled(mats_np, prepacked=shared[:len(mats_np)])
+        else:
+            shared = None
+            _A32 = lay.elem_apply_multi([
+                (jnp.asarray(A), None) for A in mats_np])
 
         def A32(u):
             uf = jnp.where(free_j, u, 0.0)
@@ -201,7 +296,11 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
             # kernel holds ~2^-45 of the row sum (3e-13 measured at bench
             # shapes) at f32 streaming speed: 3.3 ms vs 34.4 ms for the
             # emulated-f64 element einsum at 243k dofs.
-            _A_ds = lay.elem_apply_comp(A_hi_np, A_lo_np)
+            _A_ds = lay.elem_apply_comp(
+                A_hi_np, A_lo_np,
+                prepacked=(None if shared is None else
+                           (shared[0], shared[-1])),
+            )
             _B_ds, _BT_ds = lay.rect_apply_comp(
                 B_sp.astype(np.float32),
                 (B_sp - B_sp.astype(np.float32).astype(np.float64)
@@ -301,8 +400,12 @@ def equilibrated_f32_ops(m, gs: bool = False, split: bool = False,
         return b16 if tok in toks else f32
 
     _plog("pre-skeleton")
+    # device split: the preconditioner's Schur derivation runs on device
+    # from the hi table (the lo part is a ~2^-24-relative correction — far
+    # below the f32 storage rounding of the derived tables)
     preA32 = build_skeleton_preconditioner_3d(
-        m.Xv, A_s, m._dirich, f32, coarse_coefficient=m.nu, gs=gs,
+        m.Xv, A_hi_np if dev_split else A_s, m._dirich, f32,
+        coarse_coefficient=m.nu, gs=gs,
         dof_scale=D, store_dtype=_pick("sweep"),
         ext_store_dtype=_pick("ext"), panel_store_dtype=_pick("panels"),
         inv_store_dtype=_pick("inv"),

@@ -67,6 +67,8 @@ SLOW_TESTS = {
     "test_faceshard_solve_matches_single_device",
     # round 4: iteration-count regression guard (VERDICT item 8)
     "test_bench_iteration_count_guard",
+    # round 4: device-derived preconditioner tables (full-solve A/B)
+    "test_device_tables_iteration_parity",
 }
 
 
