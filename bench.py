@@ -198,6 +198,13 @@ def measure_transient(device, mesh, cache, n_steps=None, geometry=None):
         "jax_default_matmul_precision",
         "highest" if device.platform == "tpu" else None,
     )
+    try:
+        st = device.memory_stats() or {}
+        log(f"{device.platform} transient pre-build HBM: "
+            f"{st.get('bytes_in_use', 0)/1e9:.2f} GB in use of "
+            f"{st.get('bytes_limit', 0)/1e9:.2f} GB")
+    except Exception:
+        pass
     with jax.default_device(device):
         t0 = time.perf_counter()
         m32 = build(mesh, jnp.float32, "faceblock", cache=cache,
@@ -211,6 +218,13 @@ def measure_transient(device, mesh, cache, n_steps=None, geometry=None):
         jax.block_until_ready(u)
         log(f"{device.platform} transient setup+compile "
             f"{time.perf_counter() - t0:.1f}s")
+        try:
+            st = device.memory_stats() or {}
+            log(f"{device.platform} transient post-compile HBM: "
+                f"{st.get('bytes_in_use', 0)/1e9:.2f} GB in use of "
+                f"{st.get('bytes_limit', 0)/1e9:.2f} GB")
+        except Exception:
+            pass
         if n_steps is None:
             # calibrate: aim for ~10 s of measurement, stay under the
             # ~60 s tunnel cap per execution (each step is one execution)

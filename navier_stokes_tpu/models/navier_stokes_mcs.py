@@ -1062,7 +1062,16 @@ class NavierStokesMCS:
                 self._M_loc_j = jnp.asarray(np.asarray(M, np_dt))
         return self._M_loc_j
 
-    def convection(self, u):
+    def _build_convection(self):
+        """Materialize the convection trace tables (largest setup artifact;
+        built lazily because the steady SolveInitial path never needs them).
+
+        MUST be called OUTSIDE any jit trace before the first traced
+        ``convection`` apply: the table constants otherwise materialize
+        inside the trace and are embedded in the compiled module rather
+        than staying runtime device buffers — measured as the round-4
+        transient anomaly (42.1 s vs 0.45 s per IDENTICAL fused step at
+        bench scale; NOTES_r5.md section 1)."""
         if self._conv_v is None:
             if self.mesh.dim == 2:
                 self._conv_v = build_upwind_convection(
@@ -1072,6 +1081,10 @@ class NavierStokesMCS:
                 self._conv_v = build_upwind_convection_3d(
                     self.V, self._uin_np, dtype=self.dtype
                 )
+        return self._conv_v
+
+    def convection(self, u):
+        self._build_convection()
         nbv_total = self.V.ndof
         cu = self._conv_v(u[:nbv_total])
         return jnp.concatenate([cu, jnp.zeros(self.n - nbv_total, u.dtype)])
@@ -1348,6 +1361,10 @@ class NavierStokesMCS:
         # projection burns its full maxsteps every step.
         self._mass_chebyshev()
         self._pre_proj_twolevel()  # host setup — must happen outside traces
+        self._build_convection()  # tables as device buffers, NOT trace
+        # constants: built inside a jit/make_jaxpr trace they embed in the
+        # compiled module and the axon runtime re-stages them per
+        # execution — 42.1 s vs 0.45 s per step, the round-4 anomaly
         free, f, dt = self.free, self.f, self.timestep
         conv, A_raw = self.convection, self.A_raw
         inv_mstar, project = self._inv_mstar, self._project_velocity

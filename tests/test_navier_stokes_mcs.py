@@ -93,6 +93,21 @@ def test_mcs_ns_project(ns_channel):
     )
 
 
+def test_mcs_ns_step_fn_builds_tables_eagerly(ns_channel):
+    """make_step_fn must materialize the convection tables (and the other
+    host-setup pieces) BEFORE any caller traces the returned step: tables
+    first touched inside a jit/make_jaxpr trace embed in the compiled
+    module as constants, which the TPU tunnel runtime re-stages on every
+    execution — measured as 42.1 s vs 0.45 s per identical fused step at
+    bench scale (the round-4 transient anomaly, NOTES_r5.md section 1)."""
+    ns = ns_channel
+    ns._conv_v = None  # reset the lazy slot
+    ns.make_step_fn(project_tol=1e-5)
+    assert ns._conv_v is not None, (
+        "convection tables must be built eagerly by make_step_fn"
+    )
+
+
 def test_mcs_ns_stress_reconstruction(ns_channel):
     ns = ns_channel
     sw = ns.reconstruct_stress()
