@@ -969,17 +969,29 @@ def sharded_fast_flagship_solve(ns, mesh: Mesh, tol: float = 1e-8,
                                 inner_maxsteps: int = 800,
                                 max_refine: int = 8,
                                 axis: str = "shard",
-                                gs: bool = True):
+                                gs: bool = True,
+                                two_phase: bool = True):
     """SolveInitial of the flagship MCS model with the PRODUCTION fast
     path sharded (VERDICT.md round-3 item 4): split-f32 equilibrated
     operators, scatter-free face-block applies, skeleton smoother +
     aux-space coarse, f32 MINRES refinement passes — the same
-    mixed_precision_minres_refinement driver as the single-device solve,
-    on flat sharded vectors.
+    mixed_precision refinement drivers as the single-device solve, on
+    flat sharded vectors.
 
-    Returns ((x_u, x_p) global, rel_residual, passes, total_inner, plan).
+    ``two_phase=True`` (default) chains the bench's phase-2 endgame after
+    the f32 passes stall: true-f64 MINRES refinement on the equilibrated
+    correction system with f32 preconditioner casts
+    (mixed_precision_minres_refinement_2phase), so the sharded path
+    certifies the full production tolerance 1e-8 rather than the ~4e-7
+    f32 floor (VERDICT round-4 weak 5).
+
+    Returns ((x_u, x_p) global, rel_residual, passes, total_inner, plan);
+    ``passes`` is (p1, p2) when two_phase else a single int.
     """
-    from ..solvers.refinement import mixed_precision_minres_refinement
+    from ..solvers.refinement import (
+        mixed_precision_minres_refinement,
+        mixed_precision_minres_refinement_2phase,
+    )
 
     ops32, ops64, D_sh, plan, aux = build_sharded_fast_ops(ns, mesh,
                                                            axis=axis, gs=gs)
@@ -994,12 +1006,22 @@ def sharded_fast_flagship_solve(ns, mesh: Mesh, tol: float = 1e-8,
         jnp.asarray(plan.p_to_sharded(g_mod, aux["mQ"])).reshape(
             n_shards, -1), shard_spec).reshape(-1)
 
-    x, r, steps, inner = jax.jit(
-        lambda f, g: mixed_precision_minres_refinement(
-            ops64, ops32, D_sh, f, g, tol=tol, inner_tol=inner_tol,
-            inner_maxsteps=inner_maxsteps, max_refine=max_refine,
-        )
-    )(f_sh, g_sh)
+    if two_phase:
+        x, r, steps, inner = jax.jit(
+            lambda f, g: mixed_precision_minres_refinement_2phase(
+                ops64, ops32, D_sh, f, g, tol=tol, inner_tol=inner_tol,
+                inner_maxsteps=inner_maxsteps, max_refine=max_refine,
+            )
+        )(f_sh, g_sh)
+        steps = (int(steps[0]), int(steps[1]))
+    else:
+        x, r, steps, inner = jax.jit(
+            lambda f, g: mixed_precision_minres_refinement(
+                ops64, ops32, D_sh, f, g, tol=tol, inner_tol=inner_tol,
+                inner_maxsteps=inner_maxsteps, max_refine=max_refine,
+            )
+        )(f_sh, g_sh)
+        steps = int(steps)
     x_u = plan.vel_to_global(np.asarray(x[0]))
     x_p = plan.p_to_global(np.asarray(x[1]), aux["mQ"])
-    return (x_u, x_p), float(r), int(steps), int(inner), plan
+    return (x_u, x_p), float(r), steps, int(inner), plan

@@ -113,14 +113,13 @@ def test_faceshard_solve_matches_single_device():
     ns = _build_ns(0.35)
     mesh = device_mesh(8)
 
-    # tol reachable by THIS driver config at this scale: the fixed-tol
-    # refinement driver (one 5e-7 MINRES per pass, monotone-improvement
-    # stop) floors near 4e-7 at maxh=0.35-0.45 on both the single-device
-    # and the sharded path — the bench's adaptive-pass logic goes deeper,
-    # but parity of the two implementations is what this test pins.
+    # two_phase=False: this test pins PARITY of the sharded phase-1 driver
+    # against the identical single-device driver (the 2-phase endgame has
+    # its own tolerance test below)
     tol = 1e-6
     (xu, xp), r_sh, passes_sh, inner_sh, plan = sharded_fast_flagship_solve(
-        ns, mesh, tol=tol, inner_tol=5e-7, inner_maxsteps=800, gs=True)
+        ns, mesh, tol=tol, inner_tol=5e-7, inner_maxsteps=800, gs=True,
+        two_phase=False)
     assert r_sh <= tol
 
     ops32, D = equilibrated_f32_ops(ns, gs=True, split=True)
@@ -141,3 +140,27 @@ def test_faceshard_solve_matches_single_device():
     du = np.abs(xu - np.asarray(x1[0])).max()
     scale = max(np.abs(np.asarray(x1[0])).max(), 1e-30)
     assert du / scale < 2e-3, (du, scale)
+
+
+def test_faceshard_solve_reaches_production_tolerance():
+    """The sharded driver certifies the FULL production tolerance 1e-8
+    (VERDICT round-4 weak 5): split-f32 refinement passes (whose old
+    ~4e-7 'floor' was the inner MINRES's absolute stopping test firing on
+    the shrinking per-pass rhs — fixed by abs_test=False) chained with the
+    phase-2 true-f64 equilibrated correction passes
+    (mixed_precision_minres_refinement_2phase)."""
+    ns = _build_ns(0.45)
+    mesh = device_mesh(8)
+    (xu, xp), rel, passes, inner, plan = sharded_fast_flagship_solve(
+        ns, mesh, tol=1e-8, inner_tol=5e-7, inner_maxsteps=800, gs=True)
+    assert rel <= 1e-8, (rel, passes, inner)
+    # the solution really solves the unsharded system
+    f_mod = jnp.where(ns.free, ns.f - ns.A_raw(ns.u_bc), 0.0)
+    g_mod = -ns.B_raw(ns.u_bc)
+    r0 = f_mod - ns.A(jnp.asarray(xu)) - ns.BT(jnp.asarray(xp))
+    r1 = g_mod - ns.B(jnp.asarray(xu))
+    rel_true = float(
+        jnp.sqrt(jnp.vdot(r0, r0) + jnp.vdot(r1, r1))
+        / jnp.sqrt(jnp.vdot(f_mod, f_mod) + jnp.vdot(g_mod, g_mod))
+    )
+    assert rel_true <= 2e-8, rel_true
