@@ -655,10 +655,13 @@ def write_baseline(mesh, cache, geo, geo_tag):
     }
     if not os.environ.get("BENCH_NO_TRANSIENT"):
         try:
-            n_c, t_c = measure_transient(cpu, mesh, cache, n_steps=1,
+            # >= 3 measured steps (VERDICT round-4 weak 7: a headline-
+            # adjacent ratio must not rest on a single-step timing); a CPU
+            # step at bench scale is ~2-3 min, so this phase is the long
+            # pole of the baseline regen and stays budget-gated by the
+            # caller's BENCH_BUDGET_S.
+            n_c, t_c = measure_transient(cpu, mesh, cache, n_steps=3,
                                          geometry=geo)
-            # one measured step: a CPU step at bench scale is minutes; the
-            # jitted program is deterministic, per-step variance is small
             art["transient_steps_per_sec"] = float(f"{n_c / t_c:.4g}")
             art["transient_n_steps"] = int(n_c)
         except Exception as e:

@@ -1019,6 +1019,7 @@ def sharded_fast_flagship_solve(ns, mesh: Mesh, tol: float = 1e-8,
             lambda f, g: mixed_precision_minres_refinement(
                 ops64, ops32, D_sh, f, g, tol=tol, inner_tol=inner_tol,
                 inner_maxsteps=inner_maxsteps, max_refine=max_refine,
+                abs_test=False,
             )
         )(f_sh, g_sh)
         steps = int(steps)

@@ -500,9 +500,18 @@ def mixed_precision_minres_refinement(
     inner_maxsteps: int = 800,
     inner_tol: float = 1e-5,
     max_refine: int = 8,
+    abs_test: bool = True,
 ):
     """Refinement with float32 MINRES inner solves on the equilibrated
     saddle system.
+
+    ``abs_test=False`` drops the inner MINRES's absolute stopping test
+    (reference dual-test semantics): on the shrinking per-pass rhs the
+    absolute test fires early and floors the driver near ~4e-7, so deep-
+    tolerance callers (the sharded production solve) disable it; the
+    default keeps it, which stops inner passes as soon as the ABSOLUTE
+    preconditioned residual clears the target — measurably fewer inner
+    iterations on moderate tolerances (the bench-guard economy).
 
     The Bramble-Pasciak transform computes (A preA - I)-type differences;
     with an effective preconditioner those cancel catastrophically in
@@ -539,7 +548,7 @@ def mixed_precision_minres_refinement(
         res = minres(
             K32, ((D * r0).astype(jnp.float32), r1.astype(jnp.float32)),
             pre=pre32, tol=inner_tol, maxsteps=inner_maxsteps,
-            abs_test=False,
+            abs_test=abs_test,
         )
         x_new = (
             x[0] + D * res.x[0].astype(jnp.float64),
