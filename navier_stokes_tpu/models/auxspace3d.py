@@ -709,15 +709,24 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
         _plog("coarse damping power iteration")
 
         def pre_skel_faces(xF):
-            y = None  # zero iterate: the first color reads xF directly
+            # TRANSPOSED (SoA) padded sweep (round 5): the iterate lives
+            # as (nfb, nface+1) so its minor dim is the wide face axis
+            # and every color-step is pure gathers + SoA kernels — see
+            # solve_color_rows.  Transposes happen only here, at the
+            # sweep's boundary with the row-major face layout.
+            zrow = jnp.zeros((1, xF.shape[1]), xF.dtype)
+            xPT = jnp.concatenate([xF, zrow]).T
+            y = None  # zero iterate: the first color reads xPT directly
             for g in groups:  # forward sweep
-                dy = sm.solve_color_rows(g, xF, y)
+                dy = sm.solve_color_rows(g, xPT, y)
                 y = dy if y is None else y + dy
-            r = xF - S_faces(y)
-            y = y + coarse_gs(r)
+            yF = y.T[:-1]
+            r = xF - S_faces(yF)
+            yF = yF + coarse_gs(r)
+            yPT = jnp.concatenate([yF, zrow]).T
             for g in reversed(groups):  # backward sweep
-                y = y + sm.solve_color_rows(g, xF, y)
-            return y
+                yPT = yPT + sm.solve_color_rows(g, xPT, yPT)
+            return yPT.T[:-1]
 
     else:
 
@@ -744,6 +753,9 @@ def _build_skeleton_fast(V, free, fmask, AinvAis, A_ii_inv, S_loc,
         "ext": ext_fb,
         "extT": extT_fb,
         "layout": lay,
+        "smoother": sm,
+        "groups": (groups if gs else None),
+        "S_faces": (S_faces if gs else None),
     }
     return preA
 

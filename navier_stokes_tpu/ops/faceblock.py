@@ -893,11 +893,12 @@ class FaceStarSmoother:
         for faces_np in self._faces_np:
             bucket_meta.append((faces_np, base))
             base += faces_np.shape[0]
+        efaces_pad_np = np.concatenate(
+            [efaces, np.full((1, 4), nface, np.int64)])
         meta = []
         for c in range(ncolors):
             faces_list = []
             parts_meta = []  # (ofs, nkeep, fsz, bucket_idx, keep)
-            pos1 = np.full(nface, -1, np.int64)
             ofs = 0
             for bi, (faces_np, b0) in enumerate(bucket_meta):
                 nb_b = faces_np.shape[0]
@@ -906,34 +907,53 @@ class FaceStarSmoother:
                     continue
                 fb = faces_np[keep]
                 fsz = fb.shape[1]
-                flat = fb.ravel()
-                pos1[flat] = ofs + np.arange(len(flat))
-                faces_list.append(flat)
+                faces_list.append(fb.ravel())
                 parts_meta.append((ofs, len(keep), fsz, bi, keep))
-                ofs += len(flat)
+                ofs += fb.size
             faces_c = np.concatenate(faces_list)
             nsel = len(faces_c)
             assert len(np.unique(faces_c)) == nsel, \
                 "same-color blocks share a face"
-            pos1 = np.where(pos1 < 0, nsel, pos1)
+            # MERGED solve layout + TRANSPOSED (SoA) padded plans
+            # (round 5): all of the color's edge-star blocks zero-padded
+            # to ONE batch size fsz_max*nfb so the per-color solve is a
+            # single table stream (was one kernel per size bucket), and
+            # the whole sweep iterate kept TRANSPOSED ((nfb, nface+1) —
+            # minor dim the large face axis) with index plans sized to
+            # the applies' PADDED SoA column counts.  Row-major
+            # (nface, nfb=12) arrays physically pad to 128 lanes on TPU
+            # (10.7x the bytes on every sweep op), and the SoA kernels'
+            # pad-concat/transpose/slice wrappers added 4 launches per
+            # apply — together the sweep's measured ~2.3 ms/apply gap
+            # over its table-stream bound (microbench_sweep.py).  Zero
+            # padding is exact: padded tables are zero, padded columns
+            # are zero.
+            fsz_max, nblk_c, gpos, pos1 = _merged_color_plan(
+                parts_meta, self._faces_np, nface, nsel)
+            pp = use_pallas and nsel >= min_blocks
+            sp = use_pallas and nblk_c >= min_blocks
+            # tables always carry ONE trailing zero block (the guaranteed
+            # zero column the pad indices point at), so the packed tile
+            # count is ceil((n+1)/tile) even when n divides tile
+            NP = -(-(nsel + 1) // tile) * tile if pp else nsel + 1
+            NB = -(-(nblk_c + 1) // tile) * tile if sp else nblk_c + 1
             p2 = pos[faces_c]  # (nsel, 2) elem*4+lf, pad ne*4
             el2 = p2 // 4
             lf2 = p2 % 4
-            meta.append((faces_c, el2, lf2, pos1, parts_meta))
+            plans = _soa_color_plans(
+                faces_c, np.where(el2 < ne, el2, ne), efaces_pad_np,
+                gpos, pos1, nface, ne, nfb, fsz_max, nblk_c, NP, NB)
+            meta.append((faces_c, el2, lf2, parts_meta, fsz_max, nblk_c,
+                         pp, sp, plans))
 
         colm_np = np.concatenate([
             freeF_np[efaces].reshape(ne, n_skel),
             np.zeros((1, n_skel), bool),
         ])
-        panel_pallas = [use_pallas and len(m_[0]) >= min_blocks
-                        for m_ in meta]
-        efaces_pad_np = np.concatenate(
-            [efaces, np.full((1, 4), nface, np.int64)])
-
         def build_all(S5p, colm, freeF, *bucket_invs):
             out = []
-            for (faces_c, el2, lf2, pos1, parts_meta), pp in zip(
-                    meta, panel_pallas):
+            for (faces_c, el2, lf2, parts_meta, fsz_max, nblk_c,
+                 pp, sp, _plans) in meta:
                 nsel = len(faces_c)
                 el2j = jnp.asarray(np.where(el2 < ne, el2, ne), jnp.int32)
                 lf2j = jnp.asarray(lf2, jnp.int32)
@@ -948,44 +968,59 @@ class FaceStarSmoother:
                 P2 = (jnp.stack(pans, axis=2).reshape(nsel, nfb, 2 * n_skel)
                       * freeF[fcj][:, :, None].astype(pans[0].dtype)
                       ).astype(sdt)
+                # one zero pad block ALWAYS (rowio: padded rhs rows and
+                # the pad indices' target row must be exact zeros)
+                P2 = jnp.concatenate(
+                    [P2, jnp.zeros((1, nfb, 2 * n_skel), P2.dtype)])
                 if pp:
                     P2 = pack_tiles_dev(P2, tile)
-                ptabs = []
-                for (_ofs, nkeep, _fsz, bi, keep) in parts_meta:
-                    t = bucket_invs[bi][jnp.asarray(keep, jnp.int32)
-                                        ].astype(inv_sdt)
-                    if use_pallas and nkeep >= min_blocks:
-                        t = pack_tiles_dev(t, tile)
-                    ptabs.append(t)
-                out.append((fcj, el2j, P2, tuple(ptabs),
-                            jnp.asarray(pos1, jnp.int32)))
-            return tuple(out), jnp.asarray(efaces_pad_np, jnp.int32)
+                # merged padded solve table: every bucket's kept inverses
+                # zero-padded to (fsz_max*nfb)^2 and stacked -> the
+                # color's solves are ONE batched stream (round 5)
+                bmax = fsz_max * nfb
+                tabs = []
+                for (_ofs, nkeep, fsz, bi, keep) in parts_meta:
+                    t = bucket_invs[bi][jnp.asarray(keep, jnp.int32)]
+                    bdim = fsz * nfb
+                    if bdim < bmax:
+                        t = jnp.pad(
+                            t, ((0, 0), (0, bmax - bdim), (0, bmax - bdim)))
+                    tabs.append(t)
+                inv_c = jnp.concatenate(
+                    tabs + [jnp.zeros((1, bmax, bmax), tabs[0].dtype)]
+                ).astype(inv_sdt)
+                if sp:
+                    inv_c = pack_tiles_dev(inv_c, tile)
+                out.append((P2, inv_c))
+            return tuple(out)
 
-        built, self._efaces_pad = jax.jit(build_all)(
+        built = jax.jit(build_all)(
             self._S5p, jnp.asarray(colm_np), self.freeF,
             *self._bucket_inv_np)
+        self._efaces_pad = jnp.asarray(efaces_pad_np, jnp.int32)
 
         groups = []
-        for (faces_c, el2, lf2, pos1, parts_meta), pp, \
-                (fcj, el2j, P2, ptabs, pos1_j) in zip(
-                meta, panel_pallas, built):
+        for (faces_c, el2, lf2, parts_meta, fsz_max, nblk_c, pp, sp,
+             plans), (P2, inv_c) in zip(meta, built):
             nsel = len(faces_c)
             if pp:
-                P_apply = make_table_apply(P2, prepacked_nblk=nsel)
+                P_soa = make_table_apply(P2, prepacked_nblk=nsel,
+                                         soa_io=True)
             else:
-                P_apply = make_table_apply(
-                    P2, store_dtype=sdt, compute_dtype=self.compute_dtype)
-            parts = []
-            for (ofs, nkeep, fsz, _bi, _keep), tab in zip(parts_meta,
-                                                          ptabs):
-                if use_pallas and nkeep >= min_blocks:
-                    solve = make_table_apply(tab, prepacked_nblk=nkeep)
-                else:
-                    solve = make_table_apply(
-                        tab, store_dtype=inv_sdt,
-                        compute_dtype=self.compute_dtype)
-                parts.append((ofs, nkeep, fsz, solve))
-            groups.append((fcj, el2j, P_apply, parts, pos1_j))
+                P_soa = make_table_apply(
+                    P2, store_dtype=sdt, compute_dtype=self.compute_dtype,
+                    soa_io=True, min_pallas_blocks=1 << 30)
+            if sp:
+                solve = make_table_apply(inv_c, prepacked_nblk=nblk_c,
+                                         soa_io=True)
+            else:
+                solve = make_table_apply(
+                    inv_c, store_dtype=inv_sdt,
+                    compute_dtype=self.compute_dtype,
+                    soa_io=True, min_pallas_blocks=1 << 30)
+            fc, rowA, colA, rowB, colB, rowD, colD = plans
+            groups.append((fc, rowA, colA, P_soa, rowB, colB, solve,
+                           rowD, colD))
         return groups
 
     def color_row_groups(self, colors: np.ndarray, S_perm_np: np.ndarray,
@@ -1023,6 +1058,8 @@ class FaceStarSmoother:
             # device table derivation, ONE builder program for every color
             # (round 4) — see _color_row_groups_device
             return self._color_row_groups_device(colors, sdt, inv_sdt)
+        import os as _os
+
         lay = self.layout
         nfb, nface, ne = lay.nfb, lay.nface, lay.ne
         n_skel = lay.n_skel
@@ -1033,13 +1070,22 @@ class FaceStarSmoother:
         freeF_np = self.freeF_np
         # element-skeleton column mask: free dofs of e's 4 faces
         colmask = freeF_np[efaces].reshape(ne, n_skel)
-        self._efaces_pad = jnp.asarray(
-            np.concatenate([efaces, np.full((1, 4), nface, np.int64)]),
-            jnp.int32,
-        )
-        from .pallas_mv import make_table_apply
+        efaces_pad_np = np.concatenate(
+            [efaces, np.full((1, 4), nface, np.int64)])
+        self._efaces_pad = jnp.asarray(efaces_pad_np, jnp.int32)
+        from .pallas_mv import make_table_apply, pallas_ok
 
         inv_sdt = inv_sdt or sdt
+        # mirror make_table_apply's pallas gate per table so the padded
+        # row-io index plans match the applies' padded row counts
+        tile = int(_os.environ.get("NSTPU_TILE", "256"))
+        base_pallas = (
+            pallas_ok() and _os.environ.get("NSTPU_PALLAS", "1") != "0"
+            and int(_os.environ.get("NSTPU_SPLITK", "1")) == 1
+            and jnp.dtype(self.compute_dtype) == jnp.dtype(jnp.float32)
+        )
+        _f32ish = {jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)}
+        min_blocks = 256
         ncolors = int(np.max(colors)) + 1
         base = 0
         bucket_meta = []
@@ -1049,29 +1095,42 @@ class FaceStarSmoother:
             base += nb_b
         groups = []
         for c in range(ncolors):
-            parts = []  # (ofs, nb_b, fsz, solve) slices into the color rows
+            parts_meta = []  # (ofs, nkeep, fsz, bucket_idx, keep)
             faces_list = []
-            pos1 = np.full(nface, -1, np.int64)
             ofs = 0
-            for faces_b, inv_np, b0, nb_b in bucket_meta:
+            for bi, (faces_b, inv_np, b0, nb_b) in enumerate(bucket_meta):
                 keep = np.where(colors[b0: b0 + nb_b] == c)[0]
                 if not len(keep):
                     continue
                 fb = faces_b[keep]
                 fsz = fb.shape[1]
-                flat = fb.ravel()
-                pos1[flat] = ofs + np.arange(len(flat))
-                faces_list.append(flat)
-                parts.append((ofs, len(keep), fsz,
-                              make_table_apply(
-                                  inv_np[keep], store_dtype=inv_sdt,
-                                  compute_dtype=self.compute_dtype)))
-                ofs += len(flat)
+                faces_list.append(fb.ravel())
+                parts_meta.append((ofs, len(keep), fsz, bi, keep))
+                ofs += fb.size
             faces_c = np.concatenate(faces_list)
             nsel = len(faces_c)
             assert len(np.unique(faces_c)) == nsel, \
                 "same-color blocks share a face"
-            pos1 = np.where(pos1 < 0, nsel, pos1)
+            # merged padded solve table + padded row-io plans (round 5;
+            # see _color_row_groups_device): one batched stream per color
+            fsz_max, nblk_c, gpos, pos1 = _merged_color_plan(
+                parts_meta, self._faces_np, nface, nsel)
+            pp = (base_pallas and nsel >= min_blocks
+                  and jnp.dtype(sdt) in _f32ish)
+            sp = (base_pallas and nblk_c >= min_blocks
+                  and jnp.dtype(inv_sdt) in _f32ish)
+            # tables always carry ONE trailing zero block (the guaranteed
+            # zero column the pad indices point at)
+            NP = -(-(nsel + 1) // tile) * tile if pp else nsel + 1
+            NB = -(-(nblk_c + 1) // tile) * tile if sp else nblk_c + 1
+            bmax = fsz_max * nfb
+            inv_full = np.zeros((nblk_c + 1, bmax, bmax))
+            blk = 0
+            for (_ofs, nkeep, fsz, bi, keep) in parts_meta:
+                bdim = fsz * nfb
+                inv_full[blk: blk + nkeep, :bdim, :bdim] = \
+                    self._bucket_inv_np[bi][keep]
+                blk += nkeep
             # adjacency + row panels for the fresh residual at faces_c
             p2 = pos[faces_c]  # (nsel, 2) elem*4+lf, pad ne*4
             el2 = p2 // 4
@@ -1094,40 +1153,110 @@ class FaceStarSmoother:
             P2 = np.ascontiguousarray(
                 P.transpose(0, 2, 1, 3).reshape(nsel, nfb, 2 * n_skel)
             )
+            P2 = np.concatenate([P2, np.zeros((1, nfb, 2 * n_skel))])
+            fc, rowA, colA, rowB, colB, rowD, colD = _soa_color_plans(
+                faces_c, np.where(el2 < ne, el2, ne), efaces_pad_np,
+                gpos, pos1, nface, ne, nfb, fsz_max, nblk_c, NP, NB)
             groups.append((
-                jnp.asarray(faces_c, jnp.int32),
-                jnp.asarray(np.where(el2 < ne, el2, ne), jnp.int32),
+                fc, rowA, colA,
                 make_table_apply(P2, store_dtype=sdt,
-                                 compute_dtype=self.compute_dtype),
-                parts,
-                jnp.asarray(pos1, jnp.int32),
+                                 compute_dtype=self.compute_dtype,
+                                 soa_io=True,
+                                 min_pallas_blocks=(min_blocks if pp
+                                                    else 1 << 30)),
+                rowB, colB,
+                make_table_apply(inv_full, store_dtype=inv_sdt,
+                                 compute_dtype=self.compute_dtype,
+                                 soa_io=True,
+                                 min_pallas_blocks=(min_blocks if sp
+                                                    else 1 << 30)),
+                rowD, colD,
             ))
         return groups
 
-    def solve_color_rows(self, group, xF, yF=None):
+    def solve_color_rows(self, group, xPT, yPT=None):
         """One color's solves with the residual built from row panels:
         dy = sum_{b in color} P_b S_b^{-1} (xF - S yF)|_rows(b).
-        ``yF=None`` means the zero iterate (first forward color)."""
-        lay = self.layout
-        nfb, n_skel = lay.nfb, lay.n_skel
-        faces_c, el2, P_apply, parts, pos1 = group
-        xc = jnp.where(self.freeF[faces_c], xF[faces_c], 0.0)
-        if yF is None:
-            rc = xc
+
+        TRANSPOSED (SoA) calling convention (round 5): ``xPT``/``yPT``
+        are the face iterate TRANSPOSED with one trailing zero column
+        ((nfb, nface+1), free-masked by the caller); the returned update
+        has the same shape with a zero pad column, so the sweep
+        accumulates with plain adds and the whole color-step is three
+        2-index gathers and two SoA table kernels — no pad-concat /
+        transpose / slice launches, and no (nface, 12)-shaped arrays
+        whose 128-lane physical padding costs 10.7x the bytes (the
+        sweep's former ~0.13 ms/step overhead, microbench_sweep.py).
+        ``yPT=None`` means the zero iterate (first forward color)."""
+        fc, rowA, colA, P_soa, rowB, colB, solve_soa, rowD, colD = group
+        xcT = xPT[:, fc]  # (nfb, NP); pad cols read xPT's zero column
+        if yPT is None:
+            rcT = xcT
         else:
-            yFp = jnp.concatenate(
-                [yF, jnp.zeros((1, nfb), yF.dtype)]
-            )
-            ye2 = yFp[self._efaces_pad[el2]].reshape(
-                el2.shape[0], 2 * n_skel
-            )
-            rc = xc - P_apply(ye2)
-        outs = []
-        for ofs, nb_b, fsz, solve in parts:
-            xb = rc[ofs: ofs + nb_b * fsz].reshape(nb_b, fsz * nfb)
-            outs.append(solve(xb).reshape(nb_b * fsz, nfb))
-        slots = jnp.concatenate(outs + [jnp.zeros((1, nfb), rc.dtype)])
-        return jnp.where(self.freeF, slots[pos1], 0.0)
+            yeT = yPT[rowA, colA]  # (8nfb, NP)
+            rcT = xcT - P_soa(yeT)
+        xbT = rcT[rowB, colB]      # (fsz_max*nfb, NB)
+        ybT = solve_soa(xbT)
+        return ybT[rowD, colD]     # (nfb, nface+1)
+
+
+def _soa_color_plans(faces_c, el2, efaces_pad_np, gpos, pos1, nface, ne,
+                     nfb, fsz_max, nblk_c, NP, NB):
+    """Transposed (SoA) gather plans for one color-step (round 5).
+
+    The sweep iterate lives as (nfb, nface+1) — minor dim the face axis,
+    so nothing lane-pads — and every step is three 2-index-array gathers
+    around the two SoA table kernels:
+
+      xcT  = xPT[:, fc]            fc   (NP,)          color faces
+      yeT  = yPT[rowA, colA]       rowA (8nfb, 1), colA (8nfb, NP)
+      xbT  = rcT[rowB, colB]       rowB (bmax, 1), colB (bmax, NB)
+      dyT  = ybT[rowD, colD]       rowD (nfb, nface+1), colD (1, nface+1)
+
+    Pad targets are guaranteed-zero columns: face nface of the iterate,
+    column nsel of rcT, block nblk_c of the solve output (the appended
+    zero table blocks)."""
+    nsel = len(faces_c)
+    idx8 = efaces_pad_np[
+        np.concatenate([el2, np.full((NP - nsel, 2), ne, np.int64)])
+    ].reshape(NP, 8)
+    fc = np.concatenate([faces_c, np.full(NP - nsel, nface, np.int64)])
+    gpos_pad = np.concatenate(
+        [gpos, np.full((NB - nblk_c, fsz_max), nsel, np.int64)])
+    pos1_pad = np.concatenate([pos1, [nblk_c * fsz_max]])
+    rowA = (np.arange(8 * nfb) % nfb)[:, None]
+    colA = np.repeat(idx8.T, nfb, axis=0)          # (8nfb, NP)
+    rowB = (np.arange(fsz_max * nfb) % nfb)[:, None]
+    colB = np.repeat(gpos_pad.T, nfb, axis=0)      # (fsz_max*nfb, NB)
+    rowD = ((pos1_pad % fsz_max)[None, :] * nfb
+            + np.arange(nfb)[:, None])             # (nfb, nface+1)
+    colD = (pos1_pad // fsz_max)[None, :]          # (1, nface+1)
+    return tuple(jnp.asarray(a, jnp.int32)
+                 for a in (fc, rowA, colA, rowB, colB, rowD, colD))
+
+
+def _merged_color_plan(parts_meta, faces_by_bucket, nface, nsel):
+    """Host index plans for one color's MERGED padded block solve.
+
+    ``parts_meta``: [(ofs, nkeep, fsz, bucket_idx, keep)] in color-row
+    order.  Returns (fsz_max, nblk_c, gpos, pos1): ``gpos`` (nblk_c,
+    fsz_max) row indices into the color's rc rows (pad -> nsel, a zero
+    row), ``pos1`` (nface,) face -> slot in the (nblk_c*fsz_max, nfb)
+    padded result (pad -> nblk_c*fsz_max, a zero row)."""
+    fsz_max = max(p[2] for p in parts_meta)
+    nblk_c = sum(p[1] for p in parts_meta)
+    gpos = np.full((nblk_c, fsz_max), nsel, np.int64)
+    pos1 = np.full(nface, -1, np.int64)
+    blk = 0
+    for (ofs, nkeep, fsz, bi, keep) in parts_meta:
+        rows = ofs + np.arange(nkeep * fsz).reshape(nkeep, fsz)
+        gpos[blk: blk + nkeep, :fsz] = rows
+        fb = faces_by_bucket[bi][keep]
+        pos1[fb] = ((blk + np.arange(nkeep))[:, None] * fsz_max
+                    + np.arange(fsz)[None, :])
+        blk += nkeep
+    pos1 = np.where(pos1 < 0, nblk_c * fsz_max, pos1)
+    return fsz_max, nblk_c, gpos, pos1
 
 
 def face_star_smoother(layout: FaceBlockLayout, S_skel_perm: np.ndarray,

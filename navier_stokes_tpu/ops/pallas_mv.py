@@ -461,7 +461,8 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
                      interpret: bool = False, store_dtype=None,
                      min_pallas_blocks: int = 256,
                      compute_dtype=jnp.float32,
-                     prepacked_nblk: int | None = None):
+                     prepacked_nblk: int | None = None,
+                     soa_io: bool = False):
     """Generic batched block matvec: fn (nblk, k) f32 -> (nblk, m) f32 for
     (nblk, m, k) numpy tables.
 
@@ -480,6 +481,17 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
     ALL tables, ops/faceblock.py round 4) so that table construction never
     pays per-table tunnel round trips.  No packing, casting, or env
     inspection happens here.
+
+    ``soa_io=True`` (round 5): the apply takes x ALREADY in padded SoA
+    layout ((k, NPAD) with the block index minor) and returns (m, NPAD)
+    SoA — no pad-concat, no transposes, no slice.  The GS sweep keeps
+    its whole iterate transposed so every array's MINOR dim is the large
+    block axis: the row-major (nface, nfb=12) arrays the sweep used to
+    pass between steps physically pad to 128 lanes on TPU (10.7x the
+    bytes on every elementwise op and gather) — measured as the bulk of
+    the sweep's ~2.3 ms/apply overhead (microbench_sweep.py).  Tail
+    columns are exact zeros (zero-padded tail tables).  On the einsum
+    fallback NPAD is the caller-padded table's block count.
     """
     import os
 
@@ -487,6 +499,12 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
         ntile_p, m, k, tile_p = A_np.shape
         nblk = int(prepacked_nblk)
         pad = ntile_p * tile_p - nblk
+
+        if soa_io:
+            def apply(xT):
+                return _call_mv(A_np, xT, interpret=interpret)
+
+            return apply
 
         def apply(x):
             xT = jnp.concatenate([x, jnp.zeros((pad, k), x.dtype)]).T
@@ -519,6 +537,12 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
         A_j = (A_np if on_device else jnp.asarray(np.asarray(A_np))
                ).astype(sdt)
 
+        if soa_io:
+            def apply(xT):
+                return jnp.einsum("bmk,kb->mb", A_j, xT)
+
+            return apply
+
         def apply(x):
             return jnp.einsum("bmk,bk->bm", A_j, x)
 
@@ -538,7 +562,7 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
         A_packed = pack_tiles(np.asarray(A_np), tile)
         if _np_sdt is not None and A_packed.dtype != _np_sdt:
             A_packed = A_packed.astype(_np_sdt)
-    if split_k > 1:
+    if split_k > 1 and not soa_io:  # soa_io keeps the single-stream kernel
         if on_device:
             subs_l, ng = _pack_splitk_dev(A_packed, split_k)
             subs = tuple(subs_l)
@@ -557,6 +581,12 @@ def make_table_apply(A_np: np.ndarray, tile: int = 256,
     ntile = A_packed.shape[0]
     pad = ntile * tile - nblk
     A_t = A_packed if on_device else jnp.asarray(A_packed).astype(sdt)
+
+    if soa_io:
+        def apply(xT):
+            return _call_mv(A_t, xT, interpret=interpret)
+
+        return apply
 
     def apply(x):
         xT = jnp.concatenate(

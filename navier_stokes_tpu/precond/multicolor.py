@@ -55,7 +55,32 @@ def color_blocks(blocks: list[np.ndarray], ndof: int,
                 touch.update(dof2blocks[d])
             for i in touch:
                 adj[i].update(touch)
-        for i in range(nb):
+        # smallest-last (degeneracy) ordering: on the 3D edge-star graph
+        # this colors the bench mesh in 9 colors vs 11 for index order —
+        # and without the index-order tail of near-empty colors (3- and
+        # 33-block colors whose sweep steps are pure kernel-launch
+        # overhead in the row-panel GS, round 5).  Every color-step costs
+        # ~0.1 ms of fixed small-op latency on TPU, so the color count is
+        # a direct term in the preA apply time.
+        import heapq
+
+        deg = np.array([len(a) - (i in a) for i, a in enumerate(adj)])
+        degs = deg.copy()
+        removed = np.zeros(nb, bool)
+        order: list[int] = []
+        h = [(int(degs[i]), i) for i in range(nb)]
+        heapq.heapify(h)
+        while h:
+            d, i = heapq.heappop(h)
+            if removed[i] or d != degs[i]:
+                continue
+            removed[i] = True
+            order.append(i)
+            for j in adj[i]:
+                if not removed[j] and j != i:
+                    degs[j] -= 1
+                    heapq.heappush(h, (int(degs[j]), j))
+        for i in reversed(order):
             taken = {colors[j] for j in adj[i] if colors[j] >= 0}
             c = 0
             while c in taken:

@@ -175,12 +175,16 @@ def test_gs_row_sweep_matches_recompute(model):
     for g in reversed(groups_old):
         y_old = y_old + sm.solve_color(g, xF - S_faces(y_old))
 
+    # transposed (SoA) padded convention (round 5): the iterate is
+    # (nfb, nface+1) with one trailing zero column
+    xPT = jnp.concatenate([xF, jnp.zeros((1, nfb), xF.dtype)]).T
     y_new = None
     for g in groups_new:
-        dy = sm.solve_color_rows(g, xF, y_new)
+        dy = sm.solve_color_rows(g, xPT, y_new)
         y_new = dy if y_new is None else y_new + dy
     for g in reversed(groups_new):
-        y_new = y_new + sm.solve_color_rows(g, xF, y_new)
+        y_new = y_new + sm.solve_color_rows(g, xPT, y_new)
+    y_new = y_new.T[:-1]
 
     rel = float(jnp.linalg.norm(y_new - y_old) / jnp.linalg.norm(y_old))
     assert rel < 1e-10, f"row-panel sweep deviates {rel:.3e}"
